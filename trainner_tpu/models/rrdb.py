@@ -1,0 +1,202 @@
+"""RRDB / ESRGAN generator family (TPU-native Flax, NHWC).
+
+Behavioral equivalents of ref
+codes/models/modules/architectures/RRDBNet_arch.py:
+  RRDBNet:14 (original ESRGAN arch), RRDB:62, ResidualDenseBlock_5C:98
+  (residual x0.2, ESRGAN+ conv1x1 plus-path :153-158, latent GaussianNoise
+  :126), MRRDBNet:171 (modified/"new" arch).
+
+TPU-first notes: NHWC layout, channel concat on the last axis, nearest
+upsampling as broadcast-reshape (exact + cheap), mixed-precision `dtype`
+on all convs with f32 params. Module names are stable so the .pth interop
+loader (utils/torch_interop.py) can map reference checkpoints 1:1.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.blocks import (
+    ConvBlock,
+    GaussianNoise,
+    PixelShuffleBlock,
+    UpconvBlock,
+    finalact,
+    kaiming_init,
+)
+
+Dtype = Any
+_cat = partial(jnp.concatenate, axis=-1)
+
+
+class ResidualDenseBlock5C(nn.Module):
+    """5-conv residual dense block (ref RRDBNet_arch.py:98)."""
+
+    nf: int = 64
+    gc: int = 32
+    kernel_size: int = 3
+    act_type: str = "leakyrelu"
+    norm_type: Optional[str] = None
+    mode: str = "CNA"
+    plus: bool = False
+    gaussian_noise: bool = False
+    spectral_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        cb = partial(
+            ConvBlock, kernel_size=self.kernel_size, norm_type=self.norm_type,
+            act_type=self.act_type, mode=self.mode,
+            spectral_norm=self.spectral_norm, kernel_init=kaiming_init(0.1),
+            dtype=self.dtype)
+        x1 = cb(self.gc, name="conv1")(x, train)
+        x2 = cb(self.gc, name="conv2")(_cat([x, x1]), train)
+        if self.plus:
+            x2 = x2 + nn.Conv(self.gc, (1, 1), use_bias=False,
+                              kernel_init=kaiming_init(0.1), dtype=self.dtype,
+                              name="conv1x1")(x)
+        x3 = cb(self.gc, name="conv3")(_cat([x, x1, x2]), train)
+        x4 = cb(self.gc, name="conv4")(_cat([x, x1, x2, x3]), train)
+        if self.plus:
+            x4 = x4 + x2
+        last_act = None if self.mode == "CNA" else self.act_type
+        x5 = cb(self.nf, kernel_size=3, act_type=last_act,
+                name="conv5")(_cat([x, x1, x2, x3, x4]), train)
+        out = x5 * 0.2 + x
+        if self.gaussian_noise:
+            out = GaussianNoise(0.1, True, name="noise")(out, train)
+        return out
+
+
+class RRDB(nn.Module):
+    """Residual-in-residual dense block: nr RDBs + x0.2 skip
+    (ref RRDBNet_arch.py:62)."""
+
+    nf: int = 64
+    nr: int = 3
+    gc: int = 32
+    kernel_size: int = 3
+    act_type: str = "leakyrelu"
+    norm_type: Optional[str] = None
+    mode: str = "CNA"
+    plus: bool = False
+    gaussian_noise: bool = False
+    spectral_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        out = x
+        for i in range(self.nr):
+            out = ResidualDenseBlock5C(
+                self.nf, self.gc, self.kernel_size, self.act_type,
+                self.norm_type, self.mode, self.plus, self.gaussian_noise,
+                self.spectral_norm, self.dtype, name=f"RDB{i + 1}")(out, train)
+        return out * 0.2 + x
+
+
+class RRDBNet(nn.Module):
+    """Original ESRGAN generator (ref RRDBNet_arch.py:14).
+
+    Structure: fea_conv -> [nb x RRDB -> LR_conv] + skip -> upsampler
+    (upconv | pixelshuffle) -> HR_conv0 -> HR_conv1 -> finalact.
+    """
+
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 23
+    nr: int = 3
+    gc: int = 32
+    upscale: int = 4
+    norm_type: Optional[str] = None
+    act_type: str = "leakyrelu"
+    mode: str = "CNA"
+    upsample_mode: str = "upconv"
+    final_act: Optional[str] = None
+    gaussian_noise: bool = True
+    plus: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, outm: Optional[str] = None):
+        x = x.astype(self.dtype)
+        fea = ConvBlock(self.nf, 3, act_type=None, norm_type=None,
+                        kernel_init=kaiming_init(0.1), dtype=self.dtype,
+                        name="fea_conv")(x, train)
+        trunk = fea
+        for i in range(self.nb):
+            trunk = RRDB(self.nf, self.nr, self.gc, 3, self.act_type,
+                         self.norm_type, self.mode, self.plus,
+                         self.gaussian_noise, dtype=self.dtype,
+                         name=f"RRDB{i}")(trunk, train)
+        trunk = ConvBlock(self.nf, 3, norm_type=self.norm_type, act_type=None,
+                          mode=self.mode, kernel_init=kaiming_init(0.1),
+                          dtype=self.dtype, name="LR_conv")(trunk, train)
+        fea = fea + trunk
+
+        up_block = UpconvBlock if self.upsample_mode == "upconv" else \
+            PixelShuffleBlock
+        if self.upsample_mode not in ("upconv", "pixelshuffle"):
+            raise NotImplementedError(
+                f"upsample mode [{self.upsample_mode}] not found")
+        if self.upscale == 3:
+            fea = up_block(self.nf, upscale=3, act_type=self.act_type,
+                           kernel_init=kaiming_init(0.1), dtype=self.dtype,
+                           name="up0")(fea, train)
+        else:
+            for i in range(int(math.log2(self.upscale))):
+                fea = up_block(self.nf, upscale=2, act_type=self.act_type,
+                               kernel_init=kaiming_init(0.1), dtype=self.dtype,
+                               name=f"up{i}")(fea, train)
+        fea = ConvBlock(self.nf, 3, act_type=self.act_type,
+                        kernel_init=kaiming_init(0.1), dtype=self.dtype,
+                        name="HR_conv0")(fea, train)
+        out = ConvBlock(self.out_nc, 3, act_type=None,
+                        kernel_init=kaiming_init(0.1), dtype=self.dtype,
+                        name="HR_conv1")(fea, train)
+        out = finalact(self.final_act)(out)
+        if outm:
+            out = finalact(outm)(out)
+        return out.astype(jnp.float32)
+
+
+class MRRDBNet(nn.Module):
+    """Modified/"new" ESRGAN arch (ref RRDBNet_arch.py:171): fixed
+    nearest-interpolate 2x-2x upsampling, lrelu activations."""
+
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 23
+    gc: int = 32
+    upscale: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.astype(self.dtype)
+        cb = partial(ConvBlock, kernel_size=3, norm_type=None,
+                     kernel_init=kaiming_init(0.1), dtype=self.dtype)
+        fea = cb(self.nf, act_type=None, name="conv_first")(x, train)
+        trunk = fea
+        for i in range(self.nb):
+            trunk = RRDB(self.nf, 3, self.gc, dtype=self.dtype,
+                         gaussian_noise=False, name=f"RRDB{i}")(trunk, train)
+        trunk = cb(self.nf, act_type=None, name="trunk_conv")(trunk, train)
+        fea = fea + trunk
+        n_up = 1 if self.upscale == 3 else int(math.log2(self.upscale))
+        for i in range(n_up):
+            r = 3 if self.upscale == 3 else 2
+            fea = UpconvBlock(self.nf, upscale=r, act_type="leakyrelu",
+                              kernel_init=kaiming_init(0.1), dtype=self.dtype,
+                              name=f"upconv{i + 1}")(fea, train)
+        fea = cb(self.nf, act_type="leakyrelu", name="HRconv")(fea, train)
+        out = cb(self.out_nc, act_type=None, name="conv_last")(fea, train)
+        return out.astype(jnp.float32)

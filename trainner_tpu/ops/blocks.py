@@ -1,0 +1,353 @@
+"""Flax building blocks (TPU-native, NHWC, bf16-friendly).
+
+Functional equivalents of ref codes/models/modules/architectures/block.py
+(act:82, norm:113, conv_block:214, Upsample:326, pixelshuffle_block:374,
+upconv_block:390, DepthToSpace:407, SpaceToDepth:493, GaussianNoise:587),
+re-designed for XLA: NHWC layout, static shapes, channel-last
+depth_to_space/space_to_depth as reshape+transpose (XLA fuses these), and a
+mixed-precision `dtype` policy on every module (params stay f32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+
+def kaiming_init(scale: float = 1.0, negative_slope: float = 0.0):
+    """Kaiming-normal fan-in init with post-scale (ref networks.py:94-96 uses
+    kaiming_normal then weight *= 0.1 for SR nets). Implemented as a single
+    variance_scaling: var = scale^2 * 2/((1+a^2) * fan_in)."""
+    gain = 2.0 / (1.0 + negative_slope**2)
+    return nn.initializers.variance_scaling(
+        scale * scale * gain, "fan_in", "normal")
+
+
+default_sr_init = functools.partial(kaiming_init, 0.1)
+
+
+# ---------------------------------------------------------------------------
+# activations / norms (string registries like ref block.py:82,113)
+# ---------------------------------------------------------------------------
+
+
+def act(act_type: Optional[str], neg_slope: float = 0.2) -> Callable:
+    if not act_type:
+        return lambda x: x
+    act_type = act_type.lower()
+    table = {
+        "relu": nn.relu,
+        "leakyrelu": lambda x: nn.leaky_relu(x, neg_slope),
+        "lrelu": lambda x: nn.leaky_relu(x, neg_slope),
+        "prelu": lambda x: nn.leaky_relu(x, neg_slope),  # static-slope approx
+        "tanh": jnp.tanh,
+        "sigmoid": nn.sigmoid,
+        "swish": nn.swish,
+        "silu": nn.swish,
+        "selu": nn.selu,
+        "gelu": nn.gelu,
+        "elu": nn.elu,
+    }
+    if act_type not in table:
+        raise NotImplementedError(f"activation [{act_type}] not found")
+    return table[act_type]
+
+
+def finalact(mode: Optional[str]) -> Callable:
+    """Output cap (ref RRDBNet_arch.py:48-60): tanh/sigmoid/clamp/scaltanh."""
+    if not mode:
+        return lambda x: x
+    mode = mode.lower()
+    if mode == "tanh":
+        return jnp.tanh
+    if mode == "sigmoid":
+        return nn.sigmoid
+    if mode in ("clamp", "clip"):
+        return lambda x: jnp.clip(x, 0.0, 1.0)
+    if mode == "scaltanh":  # 0.5*tanh + 0.5 -> [0,1]
+        return lambda x: 0.5 * jnp.tanh(x) + 0.5
+    raise NotImplementedError(f"final activation [{mode}] not found")
+
+
+# ---------------------------------------------------------------------------
+# padding
+# ---------------------------------------------------------------------------
+
+_PAD_MODES = {"zero": "CONSTANT", "reflect": "REFLECT", "replicate": "EDGE",
+              "edge": "EDGE"}
+
+
+def explicit_pad(x: jnp.ndarray, pad: int, pad_type: str = "zero") -> jnp.ndarray:
+    """Spatial padding for NHWC (or NDHWC) tensors."""
+    if pad == 0:
+        return x
+    mode = _PAD_MODES.get(pad_type, "CONSTANT")
+    spatial = x.ndim - 2
+    cfg = [(0, 0)] + [(pad, pad)] * spatial + [(0, 0)]
+    return jnp.pad(x, cfg, mode=mode.lower() if mode != "CONSTANT" else "constant")
+
+
+# ---------------------------------------------------------------------------
+# pixel (un)shuffle — NHWC reshape/transpose, XLA-fusible
+# ---------------------------------------------------------------------------
+
+
+def depth_to_space(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """NHWC depth_to_space matching torch.pixel_shuffle channel ordering
+    (C_out, r, r) so ported .pth weights reproduce identical outputs.
+    (ref block.py:407 DepthToSpace)"""
+    b, h, w, c = x.shape
+    c_out = c // (r * r)
+    x = x.reshape(b, h, w, c_out, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, r, w, r, c_out
+    return x.reshape(b, h * r, w * r, c_out)
+
+
+def space_to_depth(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Inverse of depth_to_space (torch.pixel_unshuffle ordering).
+    (ref block.py:493 SpaceToDepth, used by the unshuffle wrapper)"""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # b, h/r, w/r, c, r, r
+    return x.reshape(b, h // r, w // r, c * r * r)
+
+
+# ---------------------------------------------------------------------------
+# resize helpers (nearest/bilinear) for upsample blocks
+# ---------------------------------------------------------------------------
+
+
+def interpolate(x: jnp.ndarray, scale: Union[int, float] = None,
+                size: Tuple[int, int] = None, mode: str = "nearest") -> jnp.ndarray:
+    b, h, w, c = x.shape
+    if size is None:
+        size = (int(round(h * scale)), int(round(w * scale)))
+    if mode == "nearest":
+        method = jax.image.ResizeMethod.NEAREST
+    elif mode in ("bilinear", "linear"):
+        method = jax.image.ResizeMethod.LINEAR
+    elif mode in ("bicubic", "cubic"):
+        method = jax.image.ResizeMethod.CUBIC
+    else:
+        raise NotImplementedError(f"interpolate mode {mode}")
+    return jax.image.resize(x, (b, size[0], size[1], c), method=method)
+
+
+def nearest_up(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Exact nearest 2x/3x/... upsample as repeat (cheaper + exact vs resize)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, r, w, r, c))
+    return x.reshape(b, h * r, w * r, c)
+
+
+# ---------------------------------------------------------------------------
+# core conv block
+# ---------------------------------------------------------------------------
+
+
+class ConvBlock(nn.Module):
+    """conv(+norm)(+act) in CNA / NAC / CNAC layouts (ref block.py:214).
+
+    NHWC; `spectral_norm` wraps the conv with power-iteration SN (uses the
+    'batch_stats' collection); `norm_type` batch|instance|layer|none.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    pad_type: str = "zero"
+    norm_type: Optional[str] = None
+    act_type: Optional[str] = "relu"
+    mode: str = "CNA"
+    spectral_norm: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+    conv_dims: int = 2  # 2 = Conv2D, 3 = Conv3D
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert self.mode in ("CNA", "NAC", "CNAC")
+        pad = (self.kernel_size - 1) // 2 * self.dilation
+        ks = (self.kernel_size,) * self.conv_dims
+
+        def make_conv():
+            conv = nn.Conv(
+                self.features, ks, strides=(self.stride,) * self.conv_dims,
+                padding="VALID", kernel_dilation=(self.dilation,) * self.conv_dims,
+                feature_group_count=self.groups, use_bias=self.use_bias,
+                kernel_init=self.kernel_init, dtype=self.dtype,
+                param_dtype=jnp.float32)
+            if self.spectral_norm:
+                conv = nn.SpectralNorm(conv)
+            return conv
+
+        def make_norm(n_features):
+            if not self.norm_type:
+                return None
+            nt = self.norm_type.lower()
+            if nt == "batch":
+                return nn.BatchNorm(use_running_average=not train,
+                                    dtype=self.dtype, param_dtype=jnp.float32)
+            if nt == "instance":
+                return nn.GroupNorm(num_groups=n_features, use_bias=False,
+                                    use_scale=False, dtype=self.dtype)
+            if nt == "layer":
+                return nn.LayerNorm(dtype=self.dtype)
+            raise NotImplementedError(f"norm [{self.norm_type}] not found")
+
+        a = act(self.act_type)
+        if self.mode in ("CNA", "CNAC"):
+            x = explicit_pad(x, pad, self.pad_type)
+            conv = make_conv()
+            x = conv(x, update_stats=train) if self.spectral_norm else conv(x)
+            norm = make_norm(self.features)
+            if norm is not None:
+                x = norm(x)
+            if self.act_type and self.mode == "CNA":
+                x = a(x)
+            elif self.act_type and self.mode == "CNAC":  # CNAC: act w/o norm
+                x = a(x)
+            return x
+        # NAC: norm -> act -> pad -> conv
+        norm = make_norm(x.shape[-1])
+        if norm is not None:
+            x = norm(x)
+        if self.act_type:
+            x = a(x)
+        x = explicit_pad(x, pad, self.pad_type)
+        conv = make_conv()
+        return conv(x, update_stats=train) if self.spectral_norm else conv(x)
+
+
+class GaussianNoise(nn.Module):
+    """Train-time additive gaussian noise on the latent (ref block.py:587;
+    ESRGAN+ uses sigma=0.1 relative)."""
+
+    sigma: float = 0.1
+    is_relative_detach: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if not train or self.sigma == 0:
+            return x
+        rng = self.make_rng("noise")
+        scale = self.sigma * jax.lax.stop_gradient(x) if self.is_relative_detach \
+            else self.sigma * x
+        return x + scale * jax.random.normal(rng, x.shape, x.dtype)
+
+
+class PixelShuffleBlock(nn.Module):
+    """conv(C -> C*r^2) + depth_to_space + (norm) + act (ref block.py:374)."""
+
+    features: int
+    upscale: int = 2
+    kernel_size: int = 3
+    act_type: Optional[str] = "relu"
+    norm_type: Optional[str] = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        r = self.upscale
+        x = ConvBlock(self.features * r * r, self.kernel_size, act_type=None,
+                      norm_type=None, kernel_init=self.kernel_init,
+                      dtype=self.dtype)(x, train)
+        x = depth_to_space(x, r)
+        if self.norm_type:
+            x = ConvBlock(self.features, 1, act_type=None,
+                          norm_type=self.norm_type, dtype=self.dtype)(x, train)
+        return act(self.act_type)(x)
+
+
+class UpconvBlock(nn.Module):
+    """nearest-upsample + conv + act (ref block.py:390, ESRGAN upsampler)."""
+
+    features: int
+    upscale: int = 2
+    kernel_size: int = 3
+    act_type: Optional[str] = "relu"
+    mode: str = "nearest"
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.mode == "nearest" and float(self.upscale).is_integer():
+            x = nearest_up(x, int(self.upscale))
+        else:
+            x = interpolate(x, scale=self.upscale, mode=self.mode)
+        return ConvBlock(self.features, self.kernel_size,
+                         act_type=self.act_type, kernel_init=self.kernel_init,
+                         dtype=self.dtype)(x, train)
+
+
+class SelfAttentionBlock(nn.Module):
+    """SAGAN-style self-attention over spatial positions
+    (ref block.py:647 SelfAttentionBlock). Query/key at C/8, learned gamma."""
+
+    max_pool: bool = False
+    poolsize: int = 4
+    spectral_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        b, h, w, c = x.shape
+        inp = x
+        if self.max_pool:
+            x = nn.max_pool(x, (self.poolsize,) * 2, strides=(self.poolsize,) * 2)
+            h, w = x.shape[1], x.shape[2]
+
+        def conv1x1(feats, name):
+            conv = nn.Conv(feats, (1, 1), use_bias=False, dtype=self.dtype,
+                           name=name)
+            if self.spectral_norm:
+                conv = nn.SpectralNorm(conv)
+                return lambda y: conv(y, update_stats=train)
+            return conv
+
+        f = conv1x1(c // 8, "f")(x).reshape(b, h * w, -1)
+        g = conv1x1(c // 8, "g")(x).reshape(b, h * w, -1)
+        v = conv1x1(c, "h")(x).reshape(b, h * w, c)
+        attn = jax.nn.softmax(
+            jnp.einsum("bic,bjc->bij", f, g,
+                       preferred_element_type=jnp.float32), axis=-1)
+        o = jnp.einsum("bij,bjc->bic", attn.astype(x.dtype), v)
+        o = o.reshape(b, h, w, c)
+        if self.max_pool:
+            o = interpolate(o, size=(inp.shape[1], inp.shape[2]),
+                            mode="bilinear")
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return inp + gamma.astype(x.dtype) * o
+
+
+class MinibatchStdConcat(nn.Module):
+    """Minibatch std-dev feature map concat (ref block.py:607)."""
+
+    averaging: str = "all"
+
+    @nn.compact
+    def __call__(self, x):
+        # std across batch per-pixel-channel, averaged to a single map
+        s = jnp.std(x, axis=0, keepdims=True)
+        if self.averaging == "all":
+            s = jnp.mean(s, keepdims=True)
+            s = jnp.broadcast_to(s, (x.shape[0], x.shape[1], x.shape[2], 1))
+        else:
+            s = jnp.broadcast_to(jnp.mean(s, axis=-1, keepdims=True),
+                                 (x.shape[0], x.shape[1], x.shape[2], 1))
+        return jnp.concatenate([x, s.astype(x.dtype)], axis=-1)
