@@ -1,0 +1,109 @@
+"""Benchmark: 4x ESRGAN training throughput + inference Mpx/s on the local
+chip(s). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Baseline (BASELINE.json): >= 20 train iters/sec at batch 32, 128px HR crops
+on a v5p-8 (4 chips) => 5 it/s per chip. vs_baseline is measured per-chip
+it/s divided by that per-chip share, scaled by the local chip count.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_train(n_warmup: int = 3, n_iters: int = 20) -> dict:
+    from trainner_tpu.train.sr_trainer import SRTrainer
+
+    opt = {
+        "is_train": True, "scale": 4,
+        "network_G": {"type": "rrdb_net", "nf": 64, "nb": 23, "gc": 32,
+                      "upscale": 4},
+        "network_D": {"type": "discriminator_vgg", "size": 128,
+                      "base_nf": 64},
+        "train": {
+            "lr_G": 1e-4, "lr_D": 1e-4,
+            "pixel_criterion": "l1", "pixel_weight": 1e-2,
+            "feature_criterion": "l1", "feature_weight": 1.0,
+            "gan_type": "vanilla", "gan_weight": 5e-3,
+            "lr_scheme": "MultiStepLR", "lr_steps": [50000],
+        },
+    }
+    trainer = SRTrainer(opt, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch_size = 32
+    lr_px = 32  # 128px HR / 4x
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               (batch_size, lr_px, lr_px, 3))
+    batch = {
+        "LR": jnp.asarray(rng.random((batch_size, lr_px, lr_px, 3),
+                                     np.float32)),
+        "HR": jnp.asarray(rng.random((batch_size, lr_px * 4, lr_px * 4, 3),
+                                     np.float32)),
+    }
+    for _ in range(n_warmup):
+        state, logs = trainer.train_step(state, batch)
+    jax.block_until_ready(state.g.params)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, logs = trainer.train_step(state, batch)
+    jax.block_until_ready(state.g.params)
+    dt = time.perf_counter() - t0
+    return {"train_iters_per_sec": n_iters / dt,
+            "train_batch": batch_size, "train_hr_px": lr_px * 4}
+
+
+def bench_infer(n_warmup: int = 2, n_iters: int = 10) -> dict:
+    from trainner_tpu.models.networks import define_G
+
+    opt = {"network_G": {"type": "rrdb_net", "nf": 64, "nb": 23, "gc": 32,
+                         "upscale": 4}}
+    model = define_G(opt, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    b, h, w = 4, 128, 128  # 4x -> 512x512 out, 1.05 Mpx/img
+    x = jnp.asarray(np.random.default_rng(1).random((b, h, w, 3),
+                                                    np.float32))
+    variables = model.init({"params": rng, "noise": rng},
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+
+    @jax.jit
+    def fwd(params, img):
+        return model.apply({"params": params}, img, train=False)
+
+    for _ in range(n_warmup):
+        y = fwd(variables["params"], x)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        y = fwd(variables["params"], x)
+    jax.block_until_ready(y)
+    dt = time.perf_counter() - t0
+    out_mpx = b * (h * 4) * (w * 4) / 1e6
+    return {"infer_mpx_per_sec": out_mpx * n_iters / dt}
+
+
+def main() -> None:
+    n_dev = len(jax.devices())
+    train = bench_train()
+    infer = bench_infer()
+    per_chip_baseline = 5.0  # 20 it/s on v5p-8 (4 chips)
+    it_s = train["train_iters_per_sec"]
+    result = {
+        "metric": "esrgan4x_train_iters_per_sec",
+        "value": round(it_s, 3),
+        "unit": "iters/sec (batch 32, 128px HR, 1 chip)",
+        "vs_baseline": round(it_s / (per_chip_baseline * max(n_dev, 1)), 3),
+        "infer_mpx_per_sec_chip": round(infer["infer_mpx_per_sec"], 2),
+        "n_devices": n_dev,
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,19 +1,25 @@
 """Test config: force CPU with 8 virtual devices so multi-chip sharding
-tests run without TPU hardware (standard JAX simulation substitute)."""
+tests run without TPU hardware (standard JAX simulation substitute).
+
+Note: the environment's sitecustomize registers an 'axon' TPU backend and
+sets jax_platforms='axon,cpu' at interpreter start, so env vars alone are
+not enough — we must also override jax.config before first backend use.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def rng():
-    import jax
-
     return jax.random.PRNGKey(0)

@@ -1,0 +1,220 @@
+"""Datasets: host-side sample producers (paths -> numpy HWC float32 RGB).
+
+Behavioral equivalents of ref codes/data/: aligned_dataset.py:12
+(AlignedDataset with pair validation, LR auto-generation, paired geometric
+transform, OTF degradations), single_dataset.py:7 (inference-only),
+unaligned_dataset.py:8 (CycleGAN A/B), and base_dataset.py path resolution
+(read_dataroots:134, get_dataroots_paths:233).
+
+TPU-first split of responsibilities: datasets here do IO + crop/flip only
+(cheap, per-sample, CPU); the heavy degradation pipeline runs BATCHED
+ON-DEVICE (data/degradations.py) inside the input step — the north-star
+redesign of ref dataops/augmentations.py aug_pipeline:1666. A host-side
+exact pipeline (data/host_degradations.py) remains for parity testing and
+for ops that resist batching.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..ops.imresize import imresize_np
+from .common import (
+    augment_pair,
+    channel_convert,
+    img2tensor,
+    modcrop,
+    paired_random_crop,
+    read_img,
+    scan_images,
+)
+
+
+def _dataroot(dataset_opt: dict, *keys: str) -> Optional[str]:
+    for k in keys:
+        v = dataset_opt.get(k)
+        if v:
+            return v if isinstance(v, str) else v[0]
+    return None
+
+
+class AlignedDataset:
+    """Paired LR/HR dataset (ref aligned_dataset.py:12).
+
+    If no LR root is given (or a pair is missing), LR is generated on the
+    fly by MATLAB-parity downscale (ref paired_imgs_check/generate_A_fn,
+    augmentations.py:1237).
+    """
+
+    def __init__(self, dataset_opt: dict):
+        self.opt = dataset_opt
+        self.scale = int(dataset_opt.get("scale", 4) or 4)
+        self.hr_crop = int(dataset_opt.get("crop_size",
+                                           dataset_opt.get("HR_size", 128))
+                           or 128)
+        self.phase = dataset_opt.get("phase", "train")
+        hr_root = _dataroot(dataset_opt, "dataroot_HR", "dataroot_B",
+                            "dataroot_gt")
+        lr_root = _dataroot(dataset_opt, "dataroot_LR", "dataroot_A",
+                            "dataroot_lq")
+        if not hr_root:
+            raise ValueError("AlignedDataset needs dataroot_HR/B/gt")
+        self.hr_paths = scan_images(hr_root)
+        if not self.hr_paths:
+            raise ValueError(f"no images found under [{hr_root}]")
+        self.lr_paths: Optional[List[str]] = None
+        if lr_root and os.path.isdir(lr_root):
+            lr = scan_images(lr_root)
+            if len(lr) == len(self.hr_paths):
+                self.lr_paths = lr
+        self.znorm = bool(dataset_opt.get("znorm"))
+        self.color = dataset_opt.get("color")
+        self.use_flip = bool(dataset_opt.get("use_flip", True))
+        self.use_rot = bool(dataset_opt.get("use_rot", True))
+        self.seed_base = int(dataset_opt.get("seed", 0) or 0)
+
+    def __len__(self) -> int:
+        return len(self.hr_paths)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            None if self.phase == "train" else self.seed_base + index)
+        hr = read_img(self.hr_paths[index])
+        if self.color:
+            hr = channel_convert(hr, self.color)
+        if self.lr_paths is not None:
+            lr = read_img(self.lr_paths[index])
+            if self.color:
+                lr = channel_convert(lr, self.color)
+        else:
+            hr = modcrop(hr, self.scale)
+            lr = imresize_np(hr, 1.0 / self.scale, kernel="cubic")
+        if self.phase == "train":
+            hr, lr = paired_random_crop(hr, lr, self.hr_crop, self.scale,
+                                        rng)
+            hr, lr = augment_pair([hr, lr], self.use_flip, self.use_rot,
+                                  rng)
+        else:
+            hr = modcrop(hr, self.scale)
+            lr = lr[: hr.shape[0] // self.scale,
+                    : hr.shape[1] // self.scale]
+        return {"LR": img2tensor(lr, self.znorm),
+                "HR": img2tensor(hr, self.znorm),
+                "LR_path": self.lr_paths[index] if self.lr_paths
+                else self.hr_paths[index],
+                "HR_path": self.hr_paths[index]}
+
+
+class SingleDataset:
+    """Inference-only LR dataset (ref single_dataset.py:7)."""
+
+    def __init__(self, dataset_opt: dict):
+        root = _dataroot(dataset_opt, "dataroot_LR", "dataroot_A",
+                         "dataroot_lq", "dataroot_HR")
+        if not root:
+            raise ValueError("SingleDataset needs dataroot_LR/A/lq")
+        self.paths = scan_images(root)
+        self.znorm = bool(dataset_opt.get("znorm"))
+        self.color = dataset_opt.get("color")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        img = read_img(self.paths[index])
+        if self.color:
+            img = channel_convert(img, self.color)
+        return {"LR": img2tensor(img, self.znorm),
+                "LR_path": self.paths[index]}
+
+
+class UnalignedDataset:
+    """Unpaired A/B dataset for CycleGAN/WBC (ref unaligned_dataset.py:8)."""
+
+    def __init__(self, dataset_opt: dict):
+        self.opt = dataset_opt
+        a_root = _dataroot(dataset_opt, "dataroot_A", "dataroot_LR")
+        b_root = _dataroot(dataset_opt, "dataroot_B", "dataroot_HR")
+        if not a_root or not b_root:
+            raise ValueError("UnalignedDataset needs dataroot_A and _B")
+        self.a_paths = scan_images(a_root)
+        self.b_paths = scan_images(b_root)
+        self.serial = bool(dataset_opt.get("serial_batches"))
+        self.crop = int(dataset_opt.get("crop_size", 256) or 256)
+        self.phase = dataset_opt.get("phase", "train")
+        self.znorm = bool(dataset_opt.get("znorm", True))
+        self.use_flip = bool(dataset_opt.get("use_flip", True))
+
+    def __len__(self) -> int:
+        return max(len(self.a_paths), len(self.b_paths))
+
+    def _load(self, path: str, rng) -> np.ndarray:
+        img = read_img(path)
+        if self.phase == "train":
+            h, w = img.shape[:2]
+            if h < self.crop or w < self.crop:
+                img = np.pad(img, ((0, max(0, self.crop - h)),
+                                   (0, max(0, self.crop - w)), (0, 0)),
+                             "reflect")
+                h, w = img.shape[:2]
+            y = int(rng.integers(0, h - self.crop + 1))
+            x = int(rng.integers(0, w - self.crop + 1))
+            img = img[y: y + self.crop, x: x + self.crop]
+            if self.use_flip and rng.random() < 0.5:
+                img = np.ascontiguousarray(img[:, ::-1])
+        return img2tensor(img, self.znorm)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng()
+        a = self.a_paths[index % len(self.a_paths)]
+        if self.serial:
+            b = self.b_paths[index % len(self.b_paths)]
+        else:
+            b = self.b_paths[int(rng.integers(0, len(self.b_paths)))]
+        return {"A": self._load(a, rng), "B": self._load(b, rng),
+                "A_path": a, "B_path": b}
+
+
+class SyntheticDataset:
+    """Random-data dataset for smoke tests / benchmarks (no reference
+    equivalent; replaces the need for disk fixtures in CI)."""
+
+    def __init__(self, dataset_opt: dict):
+        self.scale = int(dataset_opt.get("scale", 4) or 4)
+        self.hr = int(dataset_opt.get("crop_size", 128) or 128)
+        self.n = int(dataset_opt.get("n_samples", 64) or 64)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index: int):
+        rng = np.random.default_rng(index)
+        hr = rng.random((self.hr, self.hr, 3), np.float32)
+        lr = imresize_np(hr, 1.0 / self.scale)
+        return {"LR": lr, "HR": hr, "LR_path": str(index),
+                "HR_path": str(index)}
+
+
+_DATASETS = {
+    "aligned": AlignedDataset,
+    "single": SingleDataset,
+    "unaligned": UnalignedDataset,
+    "synthetic": SyntheticDataset,
+}
+
+
+def create_dataset(dataset_opt: dict):
+    """Dataset factory (ref data/__init__.py create_dataset:49). Reference
+    mode strings map onto the TPU-native dataset classes."""
+    mode = (dataset_opt.get("mode") or "aligned").lower()
+    aliases = {"lrhr": "aligned", "lrhroft": "aligned", "aligned": "aligned",
+               "lr": "single", "single": "single",
+               "unaligned": "unaligned", "lrhrc": "aligned",
+               "synthetic": "synthetic"}
+    key = aliases.get(mode, mode)
+    if key not in _DATASETS:
+        raise NotImplementedError(f"dataset mode [{mode}] not recognized")
+    return _DATASETS[key](dataset_opt)

@@ -1,0 +1,173 @@
+"""DataLoader: threaded prefetching batch producer + device feed.
+
+Replaces ref codes/data/__init__.py create_dataloader:8 (torch DataLoader
+with worker processes). TPU-first design: a small thread pool overlaps
+image IO/decode with the accelerator step (pure-numpy work releases the
+GIL inside cv2/numpy); batches are stacked numpy NHWC arrays, and
+`device_prefetch` keeps N batches in flight on the chip so the train step
+never waits on host->device copies (the double-buffered device prefetch in
+BASELINE.json's north star).
+
+Also provides WeightedMultiLoader — the equivalent of ref
+data/samplers.py MultiSampler:8 (per-dataset weighted batch sampling used
+by WBC's landscape:face = 4:1 mix).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def _collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals)
+        else:
+            out[k] = vals
+    return out
+
+
+class DataLoader:
+    """Iterates a dataset in shuffled batches with background workers."""
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 drop_last: bool = False, num_workers: int = 2,
+                 seed: int = 0, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(0, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[List[int]]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        batches = [idx[i: i + self.batch_size].tolist()
+                   for i in range(0, n, self.batch_size)]
+        if self.drop_last and batches and \
+                len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        batches = self._index_batches()
+        self._epoch += 1
+        if self.num_workers == 0:
+            for b in batches:
+                yield _collate([self.dataset[i] for i in b])
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        break
+                    q.put(_collate([self.dataset[i] for i in b]))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+class WeightedMultiLoader:
+    """Batches drawn from multiple datasets with per-dataset weights
+    (ref samplers.py MultiSampler:8): each BATCH comes wholly from one
+    dataset, chosen with the given probabilities."""
+
+    def __init__(self, datasets: Sequence, weights: Sequence[float],
+                 batch_size: int = 1, seed: int = 0, num_workers: int = 2):
+        assert len(datasets) == len(weights)
+        self.loaders = [DataLoader(d, batch_size, shuffle=True, seed=seed,
+                                   drop_last=True, num_workers=num_workers)
+                        for d in datasets]
+        w = np.asarray(weights, np.float64)
+        self.probs = w / w.sum()
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        return sum(len(ld) for ld in self.loaders)
+
+    def __iter__(self):
+        iters = [iter(ld) for ld in self.loaders]
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        alive = [True] * len(iters)
+        while any(alive):
+            k = int(rng.choice(len(iters), p=self.probs))
+            if not alive[k]:
+                continue
+            try:
+                batch = next(iters[k])
+                batch["dataset_index"] = k
+                yield batch
+            except StopIteration:
+                alive[k] = False
+
+
+def device_prefetch(iterator: Iterator, size: int = 2,
+                    sharding=None) -> Iterator:
+    """Keep `size` batches resident on device ahead of consumption."""
+    import jax
+
+    def put(batch):
+        def _put(x):
+            if isinstance(x, np.ndarray):
+                return jax.device_put(x, sharding) if sharding is not None \
+                    else jax.device_put(x)
+            return x
+
+        return {k: _put(v) for k, v in batch.items()}
+
+    buf: List[Any] = []
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)
+
+
+def create_dataloader(dataset, dataset_opt: dict,
+                      mesh=None) -> DataLoader:
+    """Loader factory (ref data/__init__.py:8): train loaders shuffle and
+    drop_last; val/test loaders are sequential batch-1."""
+    phase = dataset_opt.get("phase", "train")
+    if phase == "train":
+        return DataLoader(
+            dataset,
+            batch_size=int(dataset_opt.get("batch_size", 16) or 16),
+            shuffle=bool(dataset_opt.get("use_shuffle", True)),
+            drop_last=True,
+            num_workers=int(dataset_opt.get("n_workers", 2) or 2),
+            seed=int(dataset_opt.get("seed", 0) or 0))
+    return DataLoader(dataset, batch_size=1, shuffle=False,
+                      drop_last=False, num_workers=1)

@@ -1,0 +1,273 @@
+"""MATLAB-parity antialiased resize, re-designed as dense gather-matmuls.
+
+Behavioral equivalent of ref codes/dataops/imresize.py (imresize:381, kernel
+registry get_imresize_kernel:277, weights calculate_weights_indices:311) with
+the same kernel set (cubic:47, box:66, linear:77, lanczos2-5:88, sinc2-5:113,
+blackman2-5:135, hermite:161, bell:176, mitchell:191, catrom:227,
+hanning:245, hamming:256, gaussian:267).
+
+TPU-first: instead of the reference's per-pixel gather loops, each spatial
+axis is resized by ONE dense (out_len, in_len) weight matrix (weights are
+zero outside the kernel support), so the whole resize compiles to two
+matmuls on the MXU and is trivially batched/differentiable. Weight matrices
+are built host-side in numpy (static shapes), cached, and constant-folded
+into the jitted graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# kernels (numpy, vectorized over x)
+# ---------------------------------------------------------------------------
+
+
+def cubic(x, a: float = -0.5):
+    ax = np.abs(x)
+    ax2, ax3 = ax * ax, ax * ax * ax
+    return (((a + 2) * ax3 - (a + 3) * ax2 + 1) * (ax <= 1) +
+            (a * ax3 - 5 * a * ax2 + 8 * a * ax - 4 * a) *
+            ((ax > 1) & (ax <= 2)))
+
+
+def box(x):
+    # ref box:66 — support (-1, 1], i.e. a width-2 'box' (their convention)
+    return (((-1 <= x) & (x < 0)) * 1.0 + ((0 <= x) & (x <= 1)) * 1.0)
+
+
+def linear(x):
+    ax = np.abs(x)
+    return (1 - ax) * (ax <= 1)
+
+
+def lanczos(x, a: int = 3):
+    # ref lanczos:88 — eps-regularized sin form, support |x| <= a
+    eps = np.finfo(np.float32).eps
+    xp = np.pi * x
+    return ((np.sin(xp) * np.sin(xp / a) + eps) /
+            (xp ** 2 / a + eps)) * (np.abs(x) <= a)
+
+
+def sinc_k(x, a: int = 2):
+    # ref sinc:113 — unwindowed; truncation comes from the tap window only
+    eps = np.finfo(np.float32).eps
+    xp = np.pi * x
+    out = (np.sin(xp) + eps) / (xp + eps) * (np.abs(x) != 0)
+    return out + 1.0 * (np.abs(x) == 0)
+
+
+def blackman(x, a: int = 2):
+    # ref blackman:135 — window-only (no sinc), +1 spike at x==0
+    xp = np.pi * x
+    win = 0.42 - 0.5 * np.cos(xp / a) + 0.08 * np.cos(2 * xp / a)
+    return win * (np.abs(x) <= a) + 1.0 * (np.abs(x) == 0)
+
+
+def hermite(x):
+    ax = np.abs(x)
+    return (2 * ax ** 3 - 3 * ax ** 2 + 1) * (ax <= 1)
+
+
+def bell(x):
+    ax = np.abs(x)
+    return np.where(ax <= 0.5, 0.75 - ax ** 2,
+                    np.where(ax <= 1.5, 0.5 * (ax - 1.5) ** 2, 0.0))
+
+
+def mitchell(x, b: float = 1 / 3, c: float = 1 / 3):
+    ax = np.abs(x)
+    p1 = ((12 - 9 * b - 6 * c) * ax ** 3 + (-18 + 12 * b + 6 * c) * ax ** 2 +
+          (6 - 2 * b)) / 6
+    p2 = ((-b - 6 * c) * ax ** 3 + (6 * b + 30 * c) * ax ** 2 +
+          (-12 * b - 48 * c) * ax + (8 * b + 24 * c)) / 6
+    return np.where(ax < 1, p1, np.where(ax < 2, p2, 0.0))
+
+
+def catrom(x):
+    return mitchell(x, b=0.0, c=0.5)
+
+
+def hanning(x):
+    # ref hanning:245 — raised cosine, |x| < 5 mask, width-2 tap window
+    return (0.5 + 0.5 * np.cos(np.pi * x)) * (np.abs(x) < 5)
+
+
+def hamming(x):
+    # ref hamming:256
+    return (0.54 + 0.46 * np.cos(np.pi * x)) * (np.abs(x) < 5)
+
+
+def gaussian(x, sigma: float = 0.5):
+    return np.exp(-x ** 2 / (2 * sigma ** 2)) / (sigma * np.sqrt(2 * np.pi))
+
+
+_KERNELS: dict = {
+    "cubic": (cubic, 4.0),
+    "box": (box, 1.0),
+    "linear": (linear, 2.0),
+    "lanczos2": (functools.partial(lanczos, a=2), 4.0),
+    "lanczos3": (functools.partial(lanczos, a=3), 6.0),
+    "lanczos4": (functools.partial(lanczos, a=4), 8.0),
+    "lanczos5": (functools.partial(lanczos, a=5), 10.0),
+    "sinc2": (functools.partial(sinc_k, a=2), 4.0),
+    "sinc3": (functools.partial(sinc_k, a=3), 6.0),
+    "sinc4": (functools.partial(sinc_k, a=4), 8.0),
+    "sinc5": (functools.partial(sinc_k, a=5), 10.0),
+    "blackman2": (functools.partial(blackman, a=2), 4.0),
+    "blackman3": (functools.partial(blackman, a=3), 6.0),
+    "blackman4": (functools.partial(blackman, a=4), 8.0),
+    "blackman5": (functools.partial(blackman, a=5), 10.0),
+    "hermite": (hermite, 2.0),
+    "bell": (bell, 2.0),
+    "mitchell": (mitchell, 4.0),
+    "catrom": (catrom, 4.0),
+    "hanning": (hanning, 2.0),
+    "hamming": (hamming, 2.0),
+    "gaussian": (gaussian, 4.0),
+}
+
+_ALIASES = {
+    "bicubic": "cubic", "matlab_bicubic": "cubic", "nearest": "box",
+    "bilinear": "linear", "lanczos": "lanczos3", "blackman": "blackman2",
+    "sinc": "sinc2",
+}
+
+
+def get_kernel(name: str) -> Tuple[Callable, float]:
+    name = (name or "cubic").lower()
+    name = _ALIASES.get(name, name)
+    if name not in _KERNELS:
+        raise ValueError(f"unknown resize kernel [{name}]")
+    return _KERNELS[name]
+
+
+# ---------------------------------------------------------------------------
+# weight-matrix construction (MATLAB contributions algorithm as a dense mat)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def resize_matrix(in_length: int, out_length: int, kernel: str = "cubic",
+                  antialiasing: bool = True, grid: str = "resizeright",
+                  scale: Optional[float] = None) -> np.ndarray:
+    """Dense (out_length, in_length) weight matrix.
+
+    grid='resizeright' replicates the reference's LIVE resizer (ref
+    resize:492, get_projected_grid:711 centered formula, mirror boundary
+    get_field_of_view:726, normalized weights get_weights:756).
+    grid='matlab' replicates MATLAB imresize's `contributions` (the ref's
+    disabled port, calculate_weights_indices:311) — identical whenever
+    out_length == in_length * scale exactly.
+    """
+    kfunc, kwidth = get_kernel(kernel)
+    s = scale if scale else out_length / in_length
+    if s < 1 and antialiasing:
+        kw = kwidth / s
+        kf = lambda d: s * kfunc(s * d)  # noqa: E731
+    else:
+        kw = kwidth
+        kf = kfunc
+    eps = np.finfo(np.float32).eps
+    if grid == "resizeright":
+        u = (np.arange(out_length, dtype=np.float64) / s +
+             (in_length - 1) / 2 - (out_length - 1) / (2 * s))
+        left = np.ceil(u - kw / 2 - eps)
+        p = int(np.ceil(kw - eps))
+    elif grid == "matlab":
+        x = np.arange(1, out_length + 1, dtype=np.float64)
+        u = x / s + 0.5 * (1 - 1 / s) - 1  # 0-based
+        left = np.floor(u - kw / 2) + 1
+        p = int(np.ceil(kw)) + 2
+    else:
+        raise ValueError(f"unknown grid convention [{grid}]")
+    indices = left[:, None] + np.arange(p)[None, :]
+    # mirror/symmetric boundary folded into the matrix
+    aux = np.concatenate([np.arange(in_length),
+                          np.arange(in_length - 1, -1, -1)])
+    idx = aux[np.mod(indices.astype(np.int64), aux.size)]
+    if grid == "resizeright":
+        # the reference evaluates the kernel at the REFLECTED positions
+        # (ref get_field_of_view:726 mirrors before get_weights:756)
+        weights = kf(u[:, None] - idx)
+    else:
+        weights = kf(u[:, None] - indices)
+    norm = np.sum(weights, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    weights = weights / norm
+    mat = np.zeros((out_length, in_length), np.float64)
+    for j in range(p):
+        np.add.at(mat, (np.arange(out_length), idx[:, j]), weights[:, j])
+    return mat.astype(np.float32)
+
+
+def _out_len(in_len: int, scale: float) -> int:
+    return int(np.ceil(in_len * scale))
+
+
+def jax_highest():
+    import jax
+
+    return jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# public resize (numpy or jax, any layout with H,W at -3,-2 or 2D/3D HWC)
+# ---------------------------------------------------------------------------
+
+
+def imresize(img, scale: Optional[float] = None,
+             out_shape: Optional[Tuple[int, int]] = None,
+             kernel: str = "cubic", antialiasing: bool = True,
+             grid: str = "resizeright", clip: bool = True):
+    """MATLAB-parity resize of HWC / HW / NHWC arrays (ref imresize:381).
+
+    Works on numpy (host pipeline) and jnp (on-device, differentiable)
+    arrays alike; H and W are the two dims before the channel dim (or the
+    only dims for 2D).
+    """
+    is_jax = isinstance(img, jnp.ndarray) and not isinstance(img, np.ndarray)
+    xp = jnp if is_jax else np
+    nd = img.ndim
+    if nd == 2:
+        h_ax, w_ax = 0, 1
+    else:
+        h_ax, w_ax = nd - 3, nd - 2
+    in_h, in_w = img.shape[h_ax], img.shape[w_ax]
+    if out_shape is not None:
+        out_h, out_w = int(out_shape[0]), int(out_shape[1])
+        sc_h, sc_w = out_h / in_h, out_w / in_w
+    else:
+        assert scale is not None
+        sc_h = sc_w = float(scale)
+        out_h, out_w = _out_len(in_h, sc_h), _out_len(in_w, sc_w)
+    wh = resize_matrix(in_h, out_h, kernel, antialiasing, grid, sc_h)
+    ww = resize_matrix(in_w, out_w, kernel, antialiasing, grid, sc_w)
+    if is_jax:
+        wh, ww = jnp.asarray(wh), jnp.asarray(ww)
+    dt = img.dtype
+    x = img.astype(jnp.float32 if is_jax else np.float32)
+    # contract H then W via tensordot, restoring axis order; full f32
+    # matmul precision on TPU (resize is parity-critical, not a hot path)
+    td = (functools.partial(jnp.tensordot, precision=jax_highest())
+          if is_jax else np.tensordot)
+    x = xp.moveaxis(td(wh, x, axes=(1, h_ax)), 0, h_ax)
+    x = xp.moveaxis(td(ww, x, axes=(1, w_ax)), 0, w_ax)
+    is_int = (jnp.issubdtype(dt, jnp.integer) if is_jax
+              else np.issubdtype(np.dtype(dt), np.integer))
+    if is_int:
+        x = xp.clip(xp.round(x), 0, 255).astype(dt)
+    elif clip:
+        x = xp.clip(x, 0.0, 1.0)
+    return x
+
+
+def imresize_np(img: np.ndarray, scale: float = None, out_shape=None,
+                kernel: str = "cubic", antialiasing: bool = True
+                ) -> np.ndarray:
+    """Host-side convenience alias (numpy in, numpy out)."""
+    return imresize(np.asarray(img), scale, out_shape, kernel, antialiasing)

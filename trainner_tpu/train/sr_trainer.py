@@ -1,0 +1,435 @@
+"""SR / restoration GAN trainer: the TPU-native equivalent of the
+reference's SRModel strategy (ref codes/models/sr_model.py:22-372 on top of
+base_model.py) re-designed as pure jitted step functions over an explicit
+``SRTrainState``.
+
+Feature coverage (same option keys as the reference):
+  * G (+ optional D when gan_weight) with the full GeneratorLoss stack and
+    relativistic adversarial loss (ref sr_model.py:162-193).
+  * D_update_ratio / D_init_iters schedule (ref :246-267) — decided
+    host-side; the G-only and G+D steps are two cached jit specializations.
+  * virtual batch / gradient accumulation via lax.scan microbatches
+    (ref base_model.py:722,805).
+  * batch augmentations (mixup family incl. cutblur w/ LR pre-upsampling,
+    cutout mask re-application — ref sr_model.py:213-240).
+  * DiffAugment + frequency-separation filters on D inputs
+    (ref losses.py:573-582).
+  * grad clipping: value | norm (ref base_model.py:774,896).
+  * SWA running average + EMA (ref models/swa.py; use_ema keys).
+  * bf16 compute policy: network body bf16, losses f32 — the TPU
+    replacement for AMP autocast + GradScaler (no loss scaling needed).
+  * pixel-unshuffle wrapper (ref base_model.py:766, block.py:493).
+
+Multi-device: pass a Mesh; batches shard over 'data', params replicate (or
+fsdp-shard), gradients all-reduce implicitly via pjit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..losses.gan import AdversarialLoss, build_adversarial
+from ..losses.generator_loss import GeneratorLoss
+from ..models.networks import define_D, define_G
+from ..ops.batchaug import BatchAugment
+from ..ops.blocks import interpolate, space_to_depth
+from ..ops.diffaug import diff_augment
+from ..ops.filters import filter_high, filter_low
+from ..parallel.mesh import batch_sharding, param_sharding
+from .optimizers import Optimizer, build_optimizer
+from .schedulers import Scheduler, build_scheduler
+from .state import NetState, SRTrainState, ema_update, init_swa, swa_update
+
+
+def clip_grads(grads, mode: Optional[str], value: float):
+    """value/norm gradient clipping (ref base_model.py:896,911)."""
+    if not mode:
+        return grads
+    if mode == "value":
+        return jax.tree.map(lambda g: jnp.clip(g, -value, value), grads)
+    if mode in ("norm", "auto"):  # 'auto' percentile ≈ norm clip fallback
+        gnorm = optax_global_norm(grads)
+        scale = jnp.minimum(1.0, value / (gnorm + 1e-6))
+        return jax.tree.map(lambda g: g * scale, grads)
+    raise NotImplementedError(f"grad_clip [{mode}]")
+
+
+def optax_global_norm(tree):
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                        for x in jax.tree.leaves(tree)))
+
+
+class SRTrainer:
+    """Owns static config + modules; state flows through pure steps."""
+
+    def __init__(self, opt: dict, mesh: Optional[Mesh] = None,
+                 dtype=jnp.bfloat16):
+        self.opt = opt
+        self.mesh = mesh
+        self.dtype = dtype
+        train_opt = opt.get("train") or {}
+        self.train_opt = train_opt
+        self.scale = int(opt.get("scale", 4) or 4)
+
+        # networks -----------------------------------------------------
+        self.netG = define_G(opt, dtype=dtype)
+        self.gan_weight = float(train_opt.get("gan_weight") or 0.0)
+        self.use_gan = bool(self.gan_weight) and opt.get("is_train", True)
+        self.netD = define_D(opt, dtype=dtype) if self.use_gan else None
+
+        # losses ---------------------------------------------------------
+        self.generator_loss = GeneratorLoss(opt, device_dtype=dtype) \
+            if opt.get("is_train", True) else None
+        self.adversarial: Optional[AdversarialLoss] = (
+            build_adversarial(train_opt) if self.use_gan else None)
+
+        # optimizers / schedulers ---------------------------------------
+        self.optG = build_optimizer(
+            train_opt.get("optim_G", "adam"),
+            beta1=float(train_opt.get("beta1_G", 0.9) or 0.9),
+            beta2=float(train_opt.get("beta2_G", 0.999) or 0.999),
+            weight_decay=float(train_opt.get("weight_decay_G", 0) or 0))
+        self.schedG = build_scheduler(
+            train_opt, base_lr=train_opt.get("lr_G", 1e-4),
+            niter=int(float(train_opt.get("niter", 5e5) or 5e5)))
+        if self.use_gan:
+            self.optD = build_optimizer(
+                train_opt.get("optim_D", "adam"),
+                beta1=float(train_opt.get("beta1_D", 0.9) or 0.9),
+                beta2=float(train_opt.get("beta2_D", 0.999) or 0.999),
+                weight_decay=float(train_opt.get("weight_decay_D", 0) or 0))
+            self.schedD = build_scheduler(
+                train_opt, base_lr=train_opt.get("lr_D",
+                                                 train_opt.get("lr_G", 1e-4)),
+                niter=int(float(train_opt.get("niter", 5e5) or 5e5)))
+        else:
+            self.optD = self.schedD = None
+
+        # feature toggles -----------------------------------------------
+        self.d_update_ratio = int(train_opt.get("D_update_ratio", 1) or 1)
+        self.d_init_iters = int(train_opt.get("D_init_iters", 0) or 0)
+        self.accumulations = max(1, int(
+            (train_opt.get("virtual_batch_size") or 0) or 1))
+        self.grad_clip = train_opt.get("grad_clip")
+        self.grad_clip_value = float(train_opt.get("grad_clip_value", 0.1)
+                                     or 0.1)
+        self.use_swa = bool(opt.get("use_swa"))
+        self.swa_start_iter = int(float(train_opt.get(
+            "swa_start_iter", 0) or 0))
+        self.use_ema = bool(opt.get("use_ema") or train_opt.get("use_ema"))
+        self.ema_decay = float(train_opt.get("ema_decay", 0.999) or 0.999)
+        self.unshuffle_scale = int(opt.get("unshuffle_scale", 0) or 0) \
+            if opt.get("use_unshuffle") else 0
+
+        # batchaug / diffaug / freq-sep ---------------------------------
+        self.batchaug = None
+        if train_opt.get("mixup"):
+            mixopts = train_opt.get("mixopts",
+                                    ["blend", "rgb", "mixup", "cutmix",
+                                     "cutmixup"])
+            alphas = dict(zip(mixopts, train_opt.get("mixalpha", []) or []))
+            self.batchaug = BatchAugment(
+                list(mixopts) + ["none"],
+                (list(train_opt.get("mixprob", []) or
+                      [1.0] * len(mixopts)) + [1.0]), alphas)
+            self.cutblur = "cutblur" in mixopts
+        else:
+            self.cutblur = False
+        self.dapolicy = (train_opt.get("dapolicy", "") or "") \
+            if train_opt.get("diffaug") else ""
+        self.use_fs = bool(train_opt.get("fs"))
+        lpf = train_opt.get("lpf_type", "average")
+        hpf = train_opt.get("hpf_type", "average")
+        self.f_low = (lambda x: filter_low(x, kernel_size=9,
+                                           gaussian=lpf == "gaussian")) \
+            if self.use_fs else None
+        self.f_high = (lambda x: filter_high(x, kernel_size=9,
+                                             gaussian=hpf == "gaussian")) \
+            if self.use_fs else None
+
+        self._jit_cache: Dict[Any, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array, lr_shape: Tuple[int, ...],
+                   hr_shape: Optional[Tuple[int, ...]] = None
+                   ) -> SRTrainState:
+        rng, rg, rd, rstate = jax.random.split(rng, 4)
+        lr_in = jnp.zeros(lr_shape, jnp.float32)
+        if self.unshuffle_scale:
+            lr_in = space_to_depth(lr_in, self.unshuffle_scale)
+        g_vars = self.netG.init({"params": rg, "noise": rg}, lr_in,
+                                train=False)
+        g_extra = {k: v for k, v in g_vars.items() if k != "params"}
+        g = NetState(params=g_vars["params"],
+                     opt_state=self.optG.init(g_vars["params"]),
+                     extra=g_extra)
+        d = None
+        if self.use_gan:
+            if hr_shape is None:
+                b, h, w, c = lr_shape
+                hr_shape = (b, h * self.scale, w * self.scale,
+                            int(self.opt["network_G"].get("out_nc", 3)))
+            d_vars = self.netD.init(rd, jnp.zeros(hr_shape, jnp.float32),
+                                    train=False)
+            d_extra = {k: v for k, v in d_vars.items() if k != "params"}
+            d = NetState(params=d_vars["params"],
+                         opt_state=self.optD.init(d_vars["params"]),
+                         extra=d_extra)
+        state = SRTrainState(step=jnp.zeros([], jnp.int32), rng=rstate,
+                             g=g, d=d)
+        if self.use_swa:
+            state = init_swa(state)
+        if self.use_ema:
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, state.g.params))
+        return state
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+    def _g_apply(self, g: NetState, lr_img, rng, train: bool):
+        x = lr_img
+        if self.unshuffle_scale:
+            x = space_to_depth(x, self.unshuffle_scale)
+        kwargs = {}
+        mutable = [k for k in g.extra] if train and g.extra else False
+        out = self.netG.apply(g.variables(), x, train=train,
+                              rngs={"noise": rng, "dropout": rng},
+                              mutable=mutable, **kwargs)
+        if mutable:
+            y, new_extra = out
+            return y, dict(new_extra)
+        return out, g.extra
+
+    def _d_apply(self, d: NetState, params, x, train: bool):
+        """Always returns (logits, extra_collections)."""
+        variables = {"params": params, **d.extra}
+        mutable = [k for k in d.extra] if train and d.extra else False
+        out = self.netD.apply(variables, x, train=train, mutable=mutable)
+        if mutable:
+            logits, new_extra = out
+            return logits, dict(new_extra)
+        return out, d.extra
+
+    # ------------------------------------------------------------------
+    # train step (pure)
+    # ------------------------------------------------------------------
+    def _train_step(self, state: SRTrainState, batch: Dict[str, jnp.ndarray],
+                    lr_g: jnp.ndarray, lr_d: jnp.ndarray,
+                    *, update_d: bool, update_g: bool
+                    ) -> Tuple[SRTrainState, Dict[str, jnp.ndarray]]:
+        rng, r_aug, r_da, r_gp, r_noise = jax.random.split(state.rng, 5)
+        lr_img = batch["LR"].astype(jnp.float32)
+        hr_img = batch["HR"].astype(jnp.float32)
+        logs: Dict[str, jnp.ndarray] = {}
+
+        # batch augmentations (ref sr_model.py:213-220)
+        mask = None
+        if self.batchaug is not None:
+            if self.cutblur:
+                lr_img = interpolate(lr_img, scale=self.scale,
+                                     method="nearest")
+            hr_img, lr_img, mask, _ = self.batchaug(r_aug, hr_img, lr_img)
+            if self.cutblur:
+                lr_img = interpolate(lr_img, scale=1.0 / self.scale,
+                                     method="nearest")
+
+        def forward_g(params, lr_c, hr_c, msk):
+            g = state.g.replace(params=params)
+            fake, new_extra = self._g_apply(g, lr_c, r_noise, train=True)
+            fake = fake.astype(jnp.float32)
+            if msk is not None:
+                fake_l = fake * msk
+                hr_l = hr_c * msk
+            else:
+                fake_l, hr_l = fake, hr_c
+            total, llogs = self.generator_loss(fake_l, hr_l,
+                                               f_low=self.f_low)
+            if self.use_gan:
+                d_params = jax.lax.stop_gradient(state.d.params)
+                fa = fake_l
+                ra = hr_l
+                if self.f_high is not None:
+                    fa, ra = self.f_high(fa), self.f_high(ra)
+                if self.dapolicy:
+                    fa = diff_augment(r_da, fa, self.dapolicy)
+                    ra = diff_augment(r_da, ra, self.dapolicy)
+
+                def d_fn(x, want_maps=False):
+                    out, _ = self._d_apply(state.d, d_params, x, train=False)
+                    return out
+
+                l_g_gan = self.adversarial.generator_loss(d_fn, fa, ra)
+                llogs["l_g_gan"] = l_g_gan
+                total = total + l_g_gan
+            return total, (llogs, fake, new_extra)
+
+        A = self.accumulations
+
+        def accum_microbatches(grad_fn, params, *arrays):
+            """Gradient accumulation over A microbatches via lax.scan
+            (virtual batch, ref base_model.py:722,805). arrays' leading dim
+            must be divisible by A."""
+            chunks = [x.reshape(A, x.shape[0] // A, *x.shape[1:])
+                      if x is not None else None for x in arrays]
+            zero_g = jax.tree.map(jnp.zeros_like, params)
+
+            def body(acc, xs):
+                (loss, aux), g = grad_fn(params, *[
+                    x if x is not None else None for x in xs])
+                acc_g = jax.tree.map(jnp.add, acc[0], g)
+                return (acc_g, acc[1] + loss), aux
+
+            init = (zero_g, jnp.zeros((), jnp.float32))
+            (g_sum, loss_sum), auxs = jax.lax.scan(
+                body, init,
+                tuple(c for c in chunks))
+            grads = jax.tree.map(lambda g: g / A, g_sum)
+            return loss_sum / A, grads, auxs
+
+        new_g = state.g
+        fake_for_d = None
+        if update_g:
+            if A == 1:
+                (loss_g, (glogs, fake_for_d, g_extra)), grads = \
+                    jax.value_and_grad(forward_g, has_aux=True)(
+                        state.g.params, lr_img, hr_img, mask)
+            else:
+                gfn = jax.value_and_grad(forward_g, has_aux=True)
+                msk = mask if mask is not None else \
+                    jnp.ones((*hr_img.shape[:3], 1), hr_img.dtype)
+                loss_g, grads, (glogs, fakes, g_extra) = accum_microbatches(
+                    lambda p, l, h, m: gfn(p, l, h, m),
+                    state.g.params, lr_img, hr_img, msk)
+                fake_for_d = fakes.reshape(-1, *fakes.shape[2:])
+                glogs = jax.tree.map(jnp.mean, glogs)
+                g_extra = jax.tree.map(lambda x: x[-1], g_extra)
+            grads = clip_grads(grads, self.grad_clip, self.grad_clip_value)
+            new_params, new_opt = self.optG.apply(
+                grads, state.g.opt_state, state.g.params, lr_g)
+            new_g = NetState(new_params, new_opt, g_extra)
+            logs.update(glogs)
+            logs["l_g_total"] = loss_g
+        else:
+            fake_for_d, g_extra = self._g_apply(state.g, lr_img, r_noise,
+                                                train=True)
+            fake_for_d = fake_for_d.astype(jnp.float32)
+            new_g = state.g.replace(extra=g_extra)
+
+        new_d = state.d
+        if self.use_gan and update_d:
+            fake_det = jax.lax.stop_gradient(fake_for_d)
+            fa, ra = fake_det, hr_img
+            if self.f_high is not None:
+                fa, ra = self.f_high(fa), self.f_high(ra)
+            if self.dapolicy:
+                fa = diff_augment(r_da, fa, self.dapolicy)
+                ra = diff_augment(r_da, ra, self.dapolicy)
+
+            def forward_d(d_params, fa_c, ra_c):
+                extra_box = {}
+
+                def d_fn(x):
+                    logits, new_extra = self._d_apply(state.d, d_params, x,
+                                                      train=True)
+                    extra_box.update(new_extra)
+                    return logits
+
+                l_d, dlogs = self.adversarial.discriminator_loss(
+                    d_fn, fa_c, ra_c, gp_rng=r_gp)
+                return l_d, (dlogs, extra_box)
+
+            if A == 1:
+                (loss_d, (dlogs, d_extra)), dgrads = jax.value_and_grad(
+                    forward_d, has_aux=True)(state.d.params, fa, ra)
+            else:
+                dfn = jax.value_and_grad(forward_d, has_aux=True)
+                loss_d, dgrads, (dlogs, d_extra) = accum_microbatches(
+                    dfn, state.d.params, fa, ra)
+                dlogs = jax.tree.map(jnp.mean, dlogs)
+                d_extra = jax.tree.map(lambda x: x[-1], d_extra)
+            dgrads = clip_grads(dgrads, self.grad_clip, self.grad_clip_value)
+            d_params, d_opt = self.optD.apply(
+                dgrads, state.d.opt_state, state.d.params, lr_d)
+            new_d = NetState(d_params, d_opt, d_extra or state.d.extra)
+            logs.update(dlogs)
+            logs["l_d_total"] = loss_d
+
+        state = state.replace(step=state.step + 1, rng=rng, g=new_g, d=new_d)
+        if self.use_ema:
+            state = ema_update(state, self.ema_decay)
+        return state, logs
+
+    # ------------------------------------------------------------------
+    # public jitted entry
+    # ------------------------------------------------------------------
+    def _get_step_fn(self, update_d: bool, update_g: bool) -> Callable:
+        key = (update_d, update_g)
+        if key not in self._jit_cache:
+            fn = functools.partial(self._train_step, update_d=update_d,
+                                   update_g=update_g)
+            if self.mesh is not None:
+                bsh = batch_sharding(self.mesh)
+                repl = NamedSharding(self.mesh, P())
+                self._jit_cache[key] = jax.jit(
+                    fn,
+                    in_shardings=(None, {"LR": bsh, "HR": bsh}, None, None),
+                    donate_argnums=(0,))
+            else:
+                self._jit_cache[key] = jax.jit(fn, donate_argnums=(0,))
+        return self._jit_cache[key]
+
+    def train_step(self, state: SRTrainState, batch: Dict[str, Any]
+                   ) -> Tuple[SRTrainState, Dict[str, jnp.ndarray]]:
+        """One optimization step; host-side schedule decisions mirror ref
+        sr_model.optimize_parameters:246-267."""
+        step = int(state.step)
+        lr_g = self.schedG.get_lr(step)
+        lr_d = self.schedD.get_lr(step) if self.schedD else 0.0
+        update_g = (not self.use_gan) or (
+            step % self.d_update_ratio == 0 and step >= self.d_init_iters)
+        update_d = self.use_gan
+        fn = self._get_step_fn(update_d, update_g)
+        state, logs = fn(state, batch, jnp.float32(lr_g), jnp.float32(lr_d))
+        if self.use_swa and self.swa_start_iter and \
+                step >= self.swa_start_iter:
+            if state.swa_params is None:
+                state = init_swa(state)
+            state = swa_update(state)
+        return state, logs
+
+    # ------------------------------------------------------------------
+    # eval
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _eval_step(self, g: NetState, lr_img, use_ema_or_swa: str = ""):
+        x = lr_img.astype(jnp.float32)
+        y, _ = self._g_apply(g, x, jax.random.PRNGKey(0), train=False)
+        return y.astype(jnp.float32)
+
+    def eval_step(self, state: SRTrainState, lr_img) -> jnp.ndarray:
+        """Inference forward (ref sr_model.test:269)."""
+        return self._eval_step(state.g, lr_img)
+
+    def eval_step_x8(self, state: SRTrainState, lr_img) -> jnp.ndarray:
+        """x8 geometric self-ensemble (ref sr_model.test_x8:279)."""
+        outs = []
+        for rot in range(4):
+            for flip in (False, True):
+                x = jnp.rot90(lr_img, rot, (1, 2))
+                if flip:
+                    x = x[:, :, ::-1, :]
+                y = self.eval_step(state, x)
+                if flip:
+                    y = y[:, :, ::-1, :]
+                y = jnp.rot90(y, -rot, (1, 2))
+                outs.append(y)
+        return jnp.mean(jnp.stack(outs), axis=0)

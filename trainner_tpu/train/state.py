@@ -1,0 +1,73 @@
+"""Functional train state: the TPU-native replacement for the reference's
+mutable ``BaseModel`` strategy object (ref codes/models/base_model.py).
+
+Everything the reference mutates in-place (network weights, optimizer
+moments, SWA average, AMP scaler) becomes an explicit pytree carried through
+the jitted train step; checkpointing serializes the whole state (see
+utils/checkpoint.py), mirroring the {iter}_{net}.pth + {iter}.state pair
+(ref base_model.py:160,454).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+class NetState(struct.PyTreeNode):
+    """One network's learnable + auxiliary variables + optimizer moments.
+
+    extra: non-trained collections (flax 'batch_stats' incl. spectral-norm
+    power-iteration vectors).
+    """
+
+    params: Any
+    opt_state: Any = None
+    extra: Dict[str, Any] = struct.field(default_factory=dict)
+
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, **self.extra}
+
+
+class SRTrainState(struct.PyTreeNode):
+    """GAN training state: G (+ optional D), SWA/EMA averages, step, rng.
+
+    swa (ref models/swa.py AveragedModel): equal-weight running average of
+    G params, refreshed every swa step after swa_start_iter.
+    ema: classic exponential average (the reference reserves `use_ema`
+    checkpoint keys without implementing it — we implement it for real).
+    """
+
+    step: jnp.ndarray
+    rng: jax.Array
+    g: NetState
+    d: Optional[NetState] = None
+    swa_params: Optional[Any] = None
+    swa_n: Optional[jnp.ndarray] = None
+    ema_params: Optional[Any] = None
+
+    @property
+    def int_step(self) -> int:
+        return int(self.step)
+
+
+def init_swa(state: SRTrainState) -> SRTrainState:
+    return state.replace(swa_params=jax.tree.map(jnp.copy, state.g.params),
+                         swa_n=jnp.zeros([], jnp.int32))
+
+
+def swa_update(state: SRTrainState) -> SRTrainState:
+    """avg <- (avg * n + p) / (n + 1) (torch AveragedModel default)."""
+    n = state.swa_n.astype(jnp.float32)
+    new = jax.tree.map(lambda a, p: (a * n + p) / (n + 1.0),
+                       state.swa_params, state.g.params)
+    return state.replace(swa_params=new, swa_n=state.swa_n + 1)
+
+
+def ema_update(state: SRTrainState, decay: float) -> SRTrainState:
+    new = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                       state.ema_params, state.g.params)
+    return state.replace(ema_params=new)
