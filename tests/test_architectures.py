@@ -1,0 +1,103 @@
+"""Shape/jit tests for the generator architecture zoo (SURVEY.md §2.6)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trainner_tpu.models.networks import define_G
+
+
+def _run(opt, inp_shape, **apply_kw):
+    model = define_G(opt, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones(inp_shape, jnp.float32)
+    v = model.init({"params": rng, "noise": rng, "dropout": rng}, x,
+                   train=False)
+    return model.apply(v, x, train=False,
+                       rngs={"noise": rng, "dropout": rng}, **apply_kw)
+
+
+def test_unet_generator():
+    y = _run({"network_G": {"type": "unet_net", "num_downs": 6, "ngf": 8}},
+             (1, 64, 64, 3))
+    assert y.shape == (1, 64, 64, 3)
+    assert jnp.all(jnp.abs(y) <= 1.0)  # tanh output
+
+
+def test_resnet_generator():
+    y = _run({"network_G": {"type": "resnet_net", "n_blocks": 2, "ngf": 8}},
+             (1, 32, 32, 3))
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_ppon_three_outputs():
+    out = _run({"network_G": {"type": "ppon", "nb": 2, "nf": 16,
+                              "upscale": 4}}, (1, 8, 8, 3))
+    out_c, out_s, out_p = out
+    assert out_c.shape == out_s.shape == out_p.shape == (1, 32, 32, 3)
+
+
+def test_pan():
+    y = _run({"network_G": {"type": "pan_net", "nb": 2, "nf": 16, "unf": 8,
+                            "scale": 4, "self_attention": True}},
+             (1, 8, 8, 3))
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_a2n():
+    y = _run({"network_G": {"type": "a2n_net", "nb": 2, "nf": 16, "unf": 8,
+                            "scale": 2}}, (1, 8, 8, 3))
+    assert y.shape == (1, 16, 16, 3)
+
+
+def test_wbc_unet_modes():
+    for mode in ("pt", "tf"):
+        y = _run({"network_G": {"type": "wbcunet_net", "nf": 8,
+                                "mode": mode}}, (1, 32, 32, 3))
+        assert y.shape == (1, 32, 32, 3)
+
+
+def test_sofvsr():
+    y = _run({"network_G": {"type": "sofvsr_net", "channels": 32,
+                            "n_frames": 3, "img_ch": 3, "scale": 4,
+                            "SR_net": "sofvsr"}}, (1, 3, 8, 8, 3))
+    f1, f2, f3, sr = y
+    assert sr.shape == (1, 32, 32, 3)
+    assert f1[0].shape == (1, 4, 4, 2)
+    assert f3[0].shape == (1, 32, 32, 2)
+
+
+def test_sr3d():
+    y = _run({"network_G": {"type": "sr3d_net", "nf": 4, "n_frames": 5,
+                            "scale": 2}}, (1, 5, 8, 8, 3))
+    assert y.shape == (1, 16, 16, 3)
+
+
+def test_dvd():
+    top, bottom = _run({"network_G": {"type": "dvd_net", "nf": 16}},
+                       (1, 32, 32, 3))
+    assert top.shape == (1, 32, 32, 3)
+    assert bottom.shape == (1, 32, 32, 3)
+
+
+def test_flow_warp_identity():
+    """Zero flow must reproduce the input exactly (bilinear at grid pts)."""
+    from trainner_tpu.ops.warp import flow_warp_pix, flow_warp_vsr
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    z = jnp.zeros((2, 8, 8, 2))
+    assert jnp.allclose(flow_warp_vsr(x, z), x, atol=1e-5)
+    assert jnp.allclose(flow_warp_pix(x, z), x, atol=1e-5)
+
+
+def test_flow_warp_shift():
+    """Integer +1px x-flow shifts content left-to-right sample position."""
+    from trainner_tpu.ops.warp import flow_warp_pix
+
+    x = jnp.arange(8.0).reshape(1, 1, 8, 1)
+    x = jnp.broadcast_to(x, (1, 4, 8, 1))
+    flow = jnp.concatenate([jnp.ones((1, 4, 8, 1)),
+                            jnp.zeros((1, 4, 8, 1))], axis=-1)
+    y = flow_warp_pix(x, flow, padding_mode="border")
+    # sampling at x+1 -> value increases by 1 (except clamped border)
+    assert jnp.allclose(y[0, :, :-1, 0], x[0, :, 1:, 0], atol=1e-5)

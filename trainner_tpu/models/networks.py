@@ -166,8 +166,18 @@ def _build_sft(cfg: dict, dtype):
     return SFTNet(dtype=dtype)
 
 
+def _build_a2n(cfg: dict, dtype):
+    from .pan import AAN
+
+    return AAN(in_nc=cfg.get("in_nc", 3), out_nc=cfg.get("out_nc", 3),
+               nf=cfg.get("nf", 40), unf=cfg.get("unf", 24),
+               nb=cfg.get("nb", 16), scale=cfg.get("scale", 4),
+               dtype=dtype)
+
+
 _G_REGISTRY: Dict[str, Callable] = {
     "rrdb_net": _build_rrdb,
+    "a2n_net": _build_a2n,
     "mrrdb_net": _build_mrrdb,
     "sr_resnet": _build_srresnet,
     "ppon": _build_ppon,
