@@ -68,8 +68,9 @@ def bench_infer(n_warmup: int = 2, n_iters: int = 10) -> dict:
     b, h, w = 4, 128, 128  # 4x -> 512x512 out, 1.05 Mpx/img
     x = jnp.asarray(np.random.default_rng(1).random((b, h, w, 3),
                                                     np.float32))
-    variables = model.init({"params": rng, "noise": rng},
-                           jnp.zeros((1, 32, 32, 3)), train=False)
+    variables = jax.jit(lambda r, z: model.init(
+        {"params": r, "noise": r}, z, train=False))(
+            rng, jnp.zeros((1, 32, 32, 3)))
 
     @jax.jit
     def fwd(params, img):
@@ -88,6 +89,9 @@ def bench_infer(n_warmup: int = 2, n_iters: int = 10) -> dict:
 
 
 def main() -> None:
+    from trainner_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     n_dev = len(jax.devices())
     train = bench_train()
     infer = bench_infer()

@@ -1,0 +1,116 @@
+"""Inference + metrics driver CLI.
+
+Equivalent of ref codes/test.py: test_loop:102 — batch inference over the
+configured test datasets, PNG dumps, PSNR/SSIM (+Y-channel) per image and
+dataset averages; x8 self-ensemble and chop/tile modes
+(ref models/sr_model.py test_x8:279, test_chop:319).
+
+Usage: python test.py -opt options/sr/test_sr.yml
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def parse_options(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True)
+    args = parser.parse_args(argv)
+    from trainner_tpu.options import parse
+
+    return parse(args.opt, is_train=False)
+
+
+def main(argv=None):
+    from trainner_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    opt = parse_options(argv)
+
+    from trainner_tpu.data import create_dataloader, create_dataset
+    from trainner_tpu.data.common import save_img, tensor2img
+    from trainner_tpu.utils.logging_utils import get_root_logger, mkdirs
+    from trainner_tpu.utils.metrics import MetricsDict
+
+    mkdirs([opt["path"]["results_root"], opt["path"]["log"]])
+    logger = get_root_logger("base", opt["path"]["log"], "test")
+
+    import jax
+    import jax.numpy as jnp
+
+    from train import create_trainer
+    from trainner_tpu.utils.checkpoint import load_params
+
+    trainer = create_trainer(opt)
+
+    test_loaders = []
+    for phase_key, dataset_opt in (opt.get("datasets") or {}).items():
+        ds = create_dataset(dataset_opt)
+        test_loaders.append((dataset_opt.get("name") or phase_key,
+                             create_dataloader(ds, dataset_opt)))
+
+    state = None
+    scale = int(opt.get("scale") or 1)
+    znorm = False
+    ensemble_x8 = bool(opt.get("self_ensemble") or opt.get("x8"))
+    chop = opt.get("chop_forward") or opt.get("chop")
+
+    for name, loader in test_loaders:
+        logger.info(f"Testing [{name}]...")
+        res_dir = os.path.join(opt["path"]["results_root"], name)
+        os.makedirs(res_dir, exist_ok=True)
+        metrics = MetricsDict(opt.get("metrics") or "psnr,ssim")
+        metrics_y = MetricsDict(opt.get("metrics") or "psnr,ssim")
+        n_img = 0
+        for i, batch in enumerate(loader):
+            lr = jnp.asarray(batch["LR"])
+            if state is None:
+                state = trainer.init_state(jax.random.PRNGKey(0), lr.shape)
+                g_path = opt["path"].get("pretrain_model_G")
+                if g_path:
+                    state = state.replace(g=state.g.replace(
+                        params=load_params(g_path, state.g.params)))
+                    logger.info(f"Loaded G from {g_path}")
+                else:
+                    logger.warning("No pretrain_model_G given — running "
+                                   "random-init weights.")
+            if ensemble_x8:
+                sr = trainer.eval_step_x8(state, lr)
+            elif chop:
+                sr = trainer.eval_step_chop(state, lr)
+            else:
+                sr = trainer.eval_step(state, lr)
+            sr_img = tensor2img(np.asarray(sr)[0], znorm)
+            img_name = os.path.splitext(os.path.basename(
+                batch.get("LR_path", [str(i)])[0]))[0]
+            save_img(sr_img, os.path.join(res_dir, img_name + ".png"))
+            n_img += 1
+            if batch.get("HR") is not None:
+                gt_img = tensor2img(batch["HR"][0], znorm)
+                r = metrics.calculate_metrics(sr_img, gt_img,
+                                              crop_size=scale)
+                ry = metrics_y.calculate_metrics(sr_img, gt_img,
+                                                 crop_size=scale,
+                                                 only_y=True)
+                msg = " ".join(f"{k}: {v:.6g}" for k, v in r.items())
+                msgy = " ".join(f"{k}_Y: {v:.6g}" for k, v in ry.items())
+                logger.info(f"{img_name:20s} | {msg} | {msgy}")
+        avg = metrics.get_averages()
+        avgy = metrics_y.get_averages()
+        if avg:
+            msg = " ".join(f"{m['name']}: {m['average']:.6g}" for m in avg)
+            msgy = " ".join(f"{m['name']}_Y: {m['average']:.6g}"
+                            for m in avgy)
+            logger.info(f"[{name}] average ({n_img} images) | {msg} | "
+                        f"{msgy}")
+        else:
+            logger.info(f"[{name}] saved {n_img} images (no GT metrics)")
+
+
+if __name__ == "__main__":
+    main()

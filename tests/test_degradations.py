@@ -1,0 +1,136 @@
+"""Tests for the on-device batched degradation ops + pipeline assembly
+(SURVEY.md §2.4 equivalents)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trainner_tpu.data.pipeline import BatchDegrader, get_unpaired_params
+from trainner_tpu.ops import degradations as D
+
+RNG = jax.random.PRNGKey(0)
+
+
+def test_gaussian_kernels_normalized():
+    k = D.gaussian_kernels(RNG, 4, 21, (0.5, 3.0))
+    assert k.shape == (4, 21, 21)
+    assert np.allclose(np.asarray(jnp.sum(k, axis=(1, 2))), 1.0, atol=1e-5)
+
+
+def test_aniso_kernels_differ_from_iso():
+    iso = D.gaussian_kernels(RNG, 2, 21, (2.0, 2.0), iso_prob=1.0)
+    aniso = D.gaussian_kernels(RNG, 2, 21, (0.5, 0.5), iso_prob=0.0,
+                               sigma_y_range=(4.0, 4.0))
+    # anisotropic: different variance along x vs y
+    gx = jnp.arange(21.0) - 10
+    var_x = jnp.sum(aniso[0].sum(0) * gx ** 2)
+    var_y = jnp.sum(aniso[0].sum(1) * gx ** 2)
+    assert float(jnp.abs(var_x - var_y)) > 0.5
+    var_x_i = jnp.sum(iso[0].sum(0) * gx ** 2)
+    var_y_i = jnp.sum(iso[0].sum(1) * gx ** 2)
+    assert float(jnp.abs(var_x_i - var_y_i)) < 1e-3
+
+
+def test_apply_kernels_identity():
+    x = jax.random.uniform(RNG, (2, 16, 16, 3))
+    ident = jnp.zeros((2, 5, 5)).at[:, 2, 2].set(1.0)
+    y = D.apply_kernels(x, ident)
+    assert np.allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_apply_kernels_smooths():
+    x = jax.random.uniform(RNG, (2, 32, 32, 3))
+    k = D.gaussian_kernels(RNG, 2, 13, (2.0, 2.0))
+    y = D.apply_kernels(x, k)
+    assert float(jnp.std(y)) < float(jnp.std(x))
+
+
+def test_gaussian_noise_scales():
+    x = jnp.full((4, 32, 32, 3), 0.5)
+    y = D.gaussian_noise(RNG, x, (10.0, 10.0), gray_prob=0.0)
+    resid = np.asarray(y - x)
+    assert abs(resid.std() - 10.0 / 255.0) < 2e-3
+
+
+def test_salt_pepper_bounds():
+    x = jnp.full((2, 32, 32, 3), 0.5)
+    y = D.salt_pepper_noise(RNG, x, (0.05, 0.05))
+    vals = np.unique(np.asarray(y))
+    assert set(np.round(vals, 3)).issubset({0.0, 0.5, 1.0})
+
+
+def test_jpeg_quality_ordering():
+    x = jax.random.uniform(RNG, (1, 64, 64, 3))
+    hi = D.jpeg_compress(RNG, x, quality=jnp.array([95.0]))
+    lo = D.jpeg_compress(RNG, x, quality=jnp.array([10.0]))
+    err_hi = float(jnp.abs(hi - x).mean())
+    err_lo = float(jnp.abs(lo - x).mean())
+    assert err_hi < err_lo
+    assert err_hi < 0.05
+
+
+def test_jpeg_flat_image_near_lossless():
+    x = jnp.full((1, 32, 32, 3), 0.5)
+    y = D.jpeg_compress(RNG, x, quality=jnp.array([90.0]))
+    assert float(jnp.abs(y - x).max()) < 0.02
+
+
+def test_unsharp_sharpens():
+    # unsharp mask should increase local contrast of a soft edge
+    ramp = jnp.linspace(0.2, 0.8, 32)
+    x = jnp.broadcast_to(ramp[None, None, :, None], (1, 32, 32, 3))
+    y = D.unsharp_mask(RNG, x, amount_range=(1.0, 1.0))
+    grad_x = float(jnp.abs(jnp.diff(x[0, 16, :, 0])).max())
+    grad_y = float(jnp.abs(jnp.diff(y[0, 16, :, 0])).max())
+    assert grad_y >= grad_x
+
+
+def test_get_unpaired_params_split():
+    opt = {"lr_blur": True, "blur_prob": 0.7, "lr_blur_types": ["iso"],
+           "lr_noise": True, "lr_noise_types": ["gaussian"],
+           "hr_noise": True, "hr_noise_types": ["gaussian"],
+           "hr_unsharp_mask": True, "hr_rand_unsharp": 1,
+           "shuffle_degradations": True}
+    lr_p, hr_p = get_unpaired_params(opt)
+    assert lr_p["kind"] == "lr" and hr_p["kind"] == "hr"
+    assert lr_p["blur"]["prob"] == 0.7
+    assert "noise" in hr_p and "unsharp" in hr_p
+    assert lr_p.get("random_shuffle") is True
+
+
+def test_batch_degrader_full_pipeline():
+    opt = {"scale": 4,
+           "lr_blur": True, "blur_prob": 1.0,
+           "lr_blur_types": ["iso", "sinc"],
+           "lr_downscale": True, "lr_downscale_types": [1, 2],
+           "lr_noise": True, "lr_noise_types": ["gaussian", "jpeg"],
+           "aug_configs": {}}
+    deg = BatchDegrader(opt, "lr")
+    x = jax.random.uniform(RNG, (2, 64, 64, 3))
+    y = deg(RNG, x)
+    assert y.shape == (2, 16, 16, 3)
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+    y2 = deg(jax.random.PRNGKey(9), x)
+    assert float(jnp.abs(y - y2).max()) > 1e-6  # randomness applied
+
+
+def test_batch_degrader_matlab_resize_code():
+    opt = {"scale": 2, "lr_downscale": True, "lr_downscale_types": [998]}
+    deg = BatchDegrader(opt, "lr")
+    x = jax.random.uniform(RNG, (1, 32, 32, 3))
+    y = deg(RNG, x)
+    assert y.shape == (1, 16, 16, 3)
+    # matches the MATLAB-parity resizer directly
+    from trainner_tpu.ops.imresize import imresize
+
+    ref = jnp.clip(imresize(x, out_shape=(16, 16), kernel="cubic"), 0, 1)
+    assert float(jnp.abs(y - ref).max()) < 1e-5
+
+
+def test_hr_degrader_keeps_size():
+    opt = {"scale": 4, "hr_noise": True, "hr_noise_types": ["gaussian"]}
+    deg = BatchDegrader(opt, "hr")
+    x = jax.random.uniform(RNG, (2, 32, 32, 3))
+    y = deg(RNG, x)
+    assert y.shape == x.shape

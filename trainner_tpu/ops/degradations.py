@@ -1,0 +1,453 @@
+"""Batched ON-DEVICE degradation ops (jnp, NHWC) — the TPU-native redesign
+of the reference's per-sample OpenCV degradation pipeline
+(ref codes/dataops/augmentations.py get_blur:270 / get_noise:299, and the
+augmennt transforms: RandomAnIsoBlur augmennt/transforms.py:2509,
+RandomSincBlur:2593, RandomGaussianNoise:1509, RandomPoissonNoise:1609,
+RandomSPNoise:1652, RandomSpeckleNoise:1679, RandomCompression:1706,
+FilterUnsharp:2352, RandomChromaticAberration:2831).
+
+Design: every op processes the WHOLE batch with per-sample random
+parameters drawn from a jax PRNG key — no per-sample python, no dynamic
+shapes. Blurs build a per-sample kernel bank (b, k, k) and apply it as ONE
+grouped convolution (b*c feature groups) that XLA maps onto the MXU; JPEG
+is a DCT-domain approximation (8x8 blocks = two 8-point matmuls) with
+per-sample quality; selections between op variants are branch-free
+jnp.where mixes.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# kernel builders — all return (b, k, k), normalized to sum 1
+# ---------------------------------------------------------------------------
+
+
+def _grid(k: int):
+    r = (k - 1) / 2.0
+    ax = jnp.arange(k, dtype=jnp.float32) - r
+    return jnp.meshgrid(ax, ax, indexing="xy")  # (gx, gy)
+
+
+def gaussian_kernels(rng: jax.Array, b: int, k: int = 21,
+                     sigma_range: Tuple[float, float] = (0.2, 3.0),
+                     iso_prob: float = 1.0,
+                     sigma_y_range: Optional[Tuple[float, float]] = None,
+                     ) -> jnp.ndarray:
+    """Iso/anisotropic rotated gaussian kernels
+    (ref augmennt RandomAnIsoBlur:2509)."""
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    gx, gy = _grid(k)
+    sx = jax.random.uniform(r1, (b,), minval=sigma_range[0],
+                            maxval=sigma_range[1])
+    syr = sigma_y_range or sigma_range
+    sy_a = jax.random.uniform(r2, (b,), minval=syr[0], maxval=syr[1])
+    iso = jax.random.uniform(r3, (b,)) < iso_prob
+    sy = jnp.where(iso, sx, sy_a)
+    theta = jnp.where(iso, 0.0,
+                      jax.random.uniform(r4, (b,), minval=-math.pi,
+                                         maxval=math.pi))
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    # rotate coordinates per sample
+    xr = ct[:, None, None] * gx + st[:, None, None] * gy
+    yr = -st[:, None, None] * gx + ct[:, None, None] * gy
+    kern = jnp.exp(-0.5 * ((xr / sx[:, None, None]) ** 2 +
+                           (yr / sy[:, None, None]) ** 2))
+    return kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
+
+
+def sinc_kernels(rng: jax.Array, b: int, k: int = 21,
+                 cutoff_range: Tuple[float, float] = (math.pi / 3, math.pi)
+                 ) -> jnp.ndarray:
+    """Circular lowpass (sinc) kernels — ringing/overshoot artifacts
+    (ref augmennt RandomSincBlur:2593, Real-ESRGAN final blur).
+
+    kernel(r) = wc * J1(wc * r) / (2*pi*r) windowed to the k x k support;
+    J1 via its polynomial/asymptotic approximation (no scipy on device).
+    """
+    gx, gy = _grid(k)
+    r = jnp.sqrt(gx * gx + gy * gy)
+    wc = jax.random.uniform(rng, (b, 1, 1), minval=cutoff_range[0],
+                            maxval=cutoff_range[1])
+
+    def _j1(x):
+        # Abramowitz-Stegun style rational approximation of BesselJ1
+        small = x < 3.0
+        xs = jnp.where(small, x, 3.0) / 3.0
+        x2 = xs * xs
+        p_small = (0.5 - 0.56249985 * x2 / 4 + 0.21093573 * x2 ** 2 / 4
+                   - 0.03954289 * x2 ** 3 / 4) * x
+        xl = jnp.where(small, 3.0, x)
+        inv = 3.0 / xl
+        f1 = (0.79788456 + 0.00000156 * inv + 0.01659667 * inv ** 2
+              + 0.00017105 * inv ** 3 - 0.00249511 * inv ** 4
+              + 0.00113653 * inv ** 5 - 0.00020033 * inv ** 6)
+        th = xl - 2.35619449 + 0.12499612 * inv + 0.0000565 * inv ** 2 \
+            - 0.00637879 * inv ** 3 + 0.00074348 * inv ** 4
+        p_large = f1 * jnp.cos(th) / jnp.sqrt(xl)
+        return jnp.where(small, p_small, p_large)
+
+    rr = jnp.broadcast_to(r[None], (b, k, k))
+    x = wc * rr
+    center = wc * wc / (4 * math.pi)
+    kern = jnp.where(rr < 1e-6, center, wc * _j1(x) / (2 * math.pi * rr))
+    return kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
+
+
+def motion_kernels(rng: jax.Array, b: int, k: int = 21,
+                   length_range: Tuple[float, float] = (3.0, 15.0)
+                   ) -> jnp.ndarray:
+    """Linear motion-blur kernels with random angle/length
+    (ref augmennt RandomMotionBlur:1939-2000). Anti-aliased line: weight =
+    clamp(1 - distance_to_segment)."""
+    r1, r2 = jax.random.split(rng)
+    gx, gy = _grid(k)
+    theta = jax.random.uniform(r1, (b, 1, 1), minval=0.0, maxval=math.pi)
+    length = jax.random.uniform(r2, (b, 1, 1), minval=length_range[0],
+                                maxval=length_range[1])
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    # distance of each grid point to the line through origin at angle theta
+    d_perp = jnp.abs(-st * gx[None] + ct * gy[None])
+    # distance along the line, clipped to half-length
+    d_par = jnp.abs(ct * gx[None] + st * gy[None])
+    w = jnp.clip(1.0 - d_perp, 0.0, 1.0) * (d_par <= length / 2)
+    w = w + 1e-12
+    return w / jnp.sum(w, axis=(1, 2), keepdims=True)
+
+
+def box_kernels(rng: jax.Array, b: int, k: int = 21,
+                size_range: Tuple[int, int] = (3, 11)) -> jnp.ndarray:
+    """Average/box blur with random odd size <= k (ref get_blur 'average')."""
+    gx, gy = _grid(k)
+    sizes = jax.random.randint(rng, (b, 1, 1), size_range[0] // 2,
+                               size_range[1] // 2 + 1) * 2 + 1
+    half = (sizes - 1) / 2
+    w = ((jnp.abs(gx)[None] <= half) & (jnp.abs(gy)[None] <= half)
+         ).astype(jnp.float32)
+    return w / jnp.sum(w, axis=(1, 2), keepdims=True)
+
+
+def select_kernels(rng: jax.Array, banks: Sequence[jnp.ndarray],
+                   weights: Optional[Sequence[float]] = None) -> jnp.ndarray:
+    """Per-sample choice among kernel banks (branch-free one-hot mix)."""
+    b = banks[0].shape[0]
+    n = len(banks)
+    if n == 1:
+        return banks[0]
+    p = jnp.asarray(weights, jnp.float32) if weights is not None else \
+        jnp.ones((n,)) / n
+    p = p / p.sum()
+    choice = jax.random.categorical(rng, jnp.log(p)[None].repeat(b, 0))
+    stack = jnp.stack(banks, axis=1)  # (b, n, k, k)
+    onehot = jax.nn.one_hot(choice, n)[:, :, None, None]
+    return jnp.sum(stack * onehot, axis=1)
+
+
+def apply_kernels(x: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample spatially-invariant blur: ONE grouped conv for the batch.
+
+    x: (b, h, w, c); kernels: (b, k, k). Reflect padding (cv2 default).
+    """
+    b, h, w, c = x.shape
+    k = kernels.shape[-1]
+    pad = k // 2
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+                 mode="reflect")
+    # fold batch into channels: (1, h, w, b*c), groups = b*c
+    xg = xp.transpose(1, 2, 0, 3).reshape(1, h + 2 * pad, w + 2 * pad,
+                                          b * c)
+    kg = jnp.repeat(kernels.transpose(1, 2, 0), c, axis=-1)[:, :, None, :]
+    y = jax.lax.conv_general_dilated(
+        xg, kg.astype(x.dtype), (1, 1), "VALID",
+        feature_group_count=b * c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.reshape(h, w, b, c).transpose(2, 0, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# noise ops
+# ---------------------------------------------------------------------------
+
+
+def gaussian_noise(rng: jax.Array, x: jnp.ndarray,
+                   sigma_range: Tuple[float, float] = (1.0, 25.0),
+                   gray_prob: float = 0.4) -> jnp.ndarray:
+    """Additive gaussian noise, sigma in 0-255 units, optionally
+    luma-only per sample (ref RandomGaussianNoise:1509)."""
+    r1, r2, r3 = jax.random.split(rng, 3)
+    b = x.shape[0]
+    sigma = jax.random.uniform(r1, (b, 1, 1, 1), minval=sigma_range[0],
+                               maxval=sigma_range[1]) / 255.0
+    n_rgb = jax.random.normal(r2, x.shape, x.dtype)
+    n_gray = jnp.broadcast_to(n_rgb[..., :1], x.shape)
+    gray = (jax.random.uniform(r3, (b, 1, 1, 1)) < gray_prob)
+    noise = jnp.where(gray, n_gray, n_rgb)
+    return x + sigma.astype(x.dtype) * noise
+
+
+def poisson_noise(rng: jax.Array, x: jnp.ndarray,
+                  scale_range: Tuple[float, float] = (0.5, 3.0)
+                  ) -> jnp.ndarray:
+    """Signal-dependent (shot) noise via the gaussian approximation of
+    Poisson: y = x + sqrt(x / vals) * N(0,1)
+    (ref RandomPoissonNoise:1609; exact Poisson sampling is host-side)."""
+    r1, r2 = jax.random.split(rng)
+    b = x.shape[0]
+    scale = jax.random.uniform(r1, (b, 1, 1, 1), minval=scale_range[0],
+                               maxval=scale_range[1])
+    vals = 10.0 ** (4.0 / scale)  # larger scale -> fewer photons
+    n = jax.random.normal(r2, x.shape, x.dtype)
+    return x + jnp.sqrt(jnp.clip(x, 0.0, 1.0) / vals).astype(x.dtype) * n
+
+
+def speckle_noise(rng: jax.Array, x: jnp.ndarray,
+                  sigma_range: Tuple[float, float] = (0.01, 0.15)
+                  ) -> jnp.ndarray:
+    """Multiplicative noise y = x * (1 + n) (ref RandomSpeckleNoise:1679)."""
+    r1, r2 = jax.random.split(rng)
+    b = x.shape[0]
+    sigma = jax.random.uniform(r1, (b, 1, 1, 1), minval=sigma_range[0],
+                               maxval=sigma_range[1])
+    n = jax.random.normal(r2, x.shape, x.dtype)
+    return x * (1.0 + sigma.astype(x.dtype) * n)
+
+
+def salt_pepper_noise(rng: jax.Array, x: jnp.ndarray,
+                      amount_range: Tuple[float, float] = (0.001, 0.01),
+                      sp_ratio: float = 0.5) -> jnp.ndarray:
+    """Salt & pepper (ref RandomSPNoise:1652)."""
+    r1, r2, r3 = jax.random.split(rng, 3)
+    b = x.shape[0]
+    amount = jax.random.uniform(r1, (b, 1, 1, 1), minval=amount_range[0],
+                                maxval=amount_range[1])
+    u = jax.random.uniform(r2, (*x.shape[:3], 1))
+    salt = u < amount * sp_ratio
+    pepper = u > 1.0 - amount * (1.0 - sp_ratio)
+    y = jnp.where(salt, 1.0, x)
+    return jnp.where(pepper, 0.0, y)
+
+
+# ---------------------------------------------------------------------------
+# JPEG compression approximation (DCT-domain, per-sample quality)
+# ---------------------------------------------------------------------------
+
+_DCT8 = np.zeros((8, 8), np.float32)
+for _i in range(8):
+    for _j in range(8):
+        _DCT8[_i, _j] = math.sqrt((1 if _i == 0 else 2) / 8) * \
+            math.cos((2 * _j + 1) * _i * math.pi / 16)
+_DCT8 = jnp.asarray(_DCT8)
+
+# standard Annex-K luminance / chrominance quantization tables
+_Q_LUMA = jnp.asarray([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], jnp.float32)
+_Q_CHROMA = jnp.asarray([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], jnp.float32)
+
+_RGB2YCC = jnp.asarray([[0.299, 0.587, 0.114],
+                        [-0.168736, -0.331264, 0.5],
+                        [0.5, -0.418688, -0.081312]], jnp.float32).T
+_YCC2RGB = jnp.asarray([[1.0, 0.0, 1.402],
+                        [1.0, -0.344136, -0.714136],
+                        [1.0, 1.772, 0.0]], jnp.float32).T
+
+
+def _blockify(x: jnp.ndarray) -> jnp.ndarray:
+    """(b,h,w,c) -> (b, h/8, w/8, c, 8, 8)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 8, 8, w // 8, 8, c)
+    return x.transpose(0, 1, 3, 5, 2, 4)
+
+
+def _unblockify(x: jnp.ndarray) -> jnp.ndarray:
+    b, hb, wb, c, _, _ = x.shape
+    return x.transpose(0, 1, 4, 2, 5, 3).reshape(b, hb * 8, wb * 8, c)
+
+
+def _quality_scale(q: jnp.ndarray) -> jnp.ndarray:
+    """IJG quality -> table scale factor."""
+    return jnp.where(q < 50, 5000.0 / q, 200.0 - 2.0 * q) / 100.0
+
+
+def jpeg_compress(rng: jax.Array, x: jnp.ndarray,
+                  quality_range: Tuple[float, float] = (30.0, 95.0),
+                  quality: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """DCT-domain JPEG approximation with per-sample quality
+    (ref RandomCompression:1706; cv2 bitstream round-trip stays host-side
+    for bitwise parity testing). 4:4:4, hard quantization (round).
+
+    Input in [0,1]; h,w must be multiples of 8 (pad upstream).
+    """
+    b, h, w, c = x.shape
+    if quality is None:
+        quality = jax.random.uniform(rng, (b,), minval=quality_range[0],
+                                     maxval=quality_range[1])
+    scale = _quality_scale(quality)[:, None, None]
+
+    ycc = (x * 255.0) @ _RGB2YCC  # (b,h,w,3), Y in [0,255], Cb/Cr centered 0
+    ycc = ycc - jnp.asarray([128.0, 0.0, 0.0])
+    blocks = _blockify(ycc)  # (b,hb,wb,3,8,8)
+    coef = jnp.einsum("ij,...jk,lk->...il", _DCT8, blocks, _DCT8)
+
+    qtab = jnp.stack([_Q_LUMA, _Q_CHROMA, _Q_CHROMA])  # (3,8,8)
+    qtab = jnp.clip(qtab[None] * scale[:, None], 1.0, 255.0)
+    qtab = qtab[:, None, None]  # (b,1,1,3,8,8)
+    coef_q = jnp.round(coef / qtab) * qtab
+
+    rec = jnp.einsum("ji,...jk,kl->...il", _DCT8, coef_q, _DCT8)
+    ycc_rec = _unblockify(rec) + jnp.asarray([128.0, 0.0, 0.0])
+    rgb = (ycc_rec @ _YCC2RGB) / 255.0
+    return jnp.clip(rgb, 0.0, 1.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pixel-space filters
+# ---------------------------------------------------------------------------
+
+
+def unsharp_mask(rng: jax.Array, x: jnp.ndarray,
+                 sigma_range: Tuple[float, float] = (1.0, 2.0),
+                 amount_range: Tuple[float, float] = (0.5, 1.5)
+                 ) -> jnp.ndarray:
+    """x + amount * (x - blur(x)) (ref FilterUnsharp:2352)."""
+    r1, r2 = jax.random.split(rng)
+    b = x.shape[0]
+    kern = gaussian_kernels(r1, b, k=11, sigma_range=sigma_range)
+    blurred = apply_kernels(x, kern)
+    amount = jax.random.uniform(r2, (b, 1, 1, 1), minval=amount_range[0],
+                                maxval=amount_range[1]).astype(x.dtype)
+    return jnp.clip(x + amount * (x - blurred), 0.0, 1.0)
+
+
+def auto_levels(x: jnp.ndarray, percent: float = 1.0) -> jnp.ndarray:
+    """Percentile contrast stretch per image (ref FilterColorBalance /
+    simplest color balance, augmennt transforms.py:2309)."""
+    lo = jnp.percentile(x, percent, axis=(1, 2, 3), keepdims=True)
+    hi = jnp.percentile(x, 100.0 - percent, axis=(1, 2, 3), keepdims=True)
+    return jnp.clip((x - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+
+
+def fringes(rng: jax.Array, x: jnp.ndarray, max_shift: int = 2
+            ) -> jnp.ndarray:
+    """Chromatic aberration: shift R and B channels by small offsets
+    (ref RandomChromaticAberration:2831). Shift by a random integer pixel
+    offset per sample via branch-free roll mixing."""
+    b = x.shape[0]
+    shifts = jax.random.randint(rng, (b, 2, 2), -max_shift, max_shift + 1)
+
+    def shift_chan(chan, s):  # chan (b,h,w), s (b,2)
+        outs = []
+        for dy in range(-max_shift, max_shift + 1):
+            for dx in range(-max_shift, max_shift + 1):
+                sel = ((s[:, 0] == dy) & (s[:, 1] == dx))[:, None, None]
+                outs.append(jnp.where(
+                    sel, jnp.roll(chan, (dy, dx), axis=(1, 2)), 0.0))
+        return sum(outs)
+
+    r = shift_chan(x[..., 0], shifts[:, 0])
+    bch = shift_chan(x[..., 2], shifts[:, 1])
+    return jnp.stack([r, x[..., 1], bch], axis=-1)
+
+
+def quantize_colors(x: jnp.ndarray, levels: int = 32) -> jnp.ndarray:
+    """Uniform color quantization (ref get_noise 'quantize' simple mode)."""
+    return jnp.round(x * (levels - 1)) / (levels - 1)
+
+
+def ordered_dither(x: jnp.ndarray, bits: int = 1) -> jnp.ndarray:
+    """Bayer 4x4 ordered dithering (ref augmennt dithers :2224-2288)."""
+    bayer = jnp.asarray([[0, 8, 2, 10], [12, 4, 14, 6],
+                         [3, 11, 1, 9], [15, 7, 13, 5]],
+                        jnp.float32) / 16.0 - 0.5
+    b, h, w, c = x.shape
+    tiles = jnp.tile(bayer, (h // 4 + 1, w // 4 + 1))[:h, :w]
+    levels = 2 ** bits
+    return jnp.clip(jnp.round((x + tiles[None, :, :, None] / levels)
+                              * (levels - 1)) / (levels - 1), 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# resize ops (batched, per-sample algorithm choice)
+# ---------------------------------------------------------------------------
+
+_JAX_METHODS = {0: "nearest", 1: "linear", 2: "cubic", 3: "linear",
+                4: "lanczos3", 5: "linear", 6: "nearest"}
+
+
+def resize_batch(x: jnp.ndarray, out_hw: Tuple[int, int],
+                 algo: int = 2) -> jnp.ndarray:
+    """Resize the whole batch with one algorithm code
+    (codes: options/config.py INTERP_CODES)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if algo in (100, 101, 102, 103, 104, 998):
+        from .imresize import imresize
+
+        kern = {100: "box", 101: "box", 102: "linear", 103: "lanczos2",
+                104: "lanczos3", 998: "cubic"}[algo]
+        return imresize(x, out_shape=(oh, ow), kernel=kern)
+    if algo == 3 and oh <= h:  # area downscale == antialiased linear
+        return jax.image.resize(x, (b, oh, ow, c), method="linear",
+                                antialias=True)
+    method = _JAX_METHODS.get(algo, "cubic")
+    antialias = oh < h
+    return jax.image.resize(x, (b, oh, ow, c), method=method,
+                            antialias=antialias)
+
+
+def random_resize(rng: jax.Array, x: jnp.ndarray, out_hw: Tuple[int, int],
+                  algos: Sequence[int]) -> jnp.ndarray:
+    """Per-sample choice among resize algorithms: compute each candidate
+    (few) and mix branch-free (shapes static, XLA-fusible)."""
+    algos = [a for a in algos if isinstance(a, int)] or [2]
+    if len(algos) == 1:
+        return resize_batch(x, out_hw, algos[0])
+    cands = [resize_batch(x, out_hw, a) for a in algos]
+    b = x.shape[0]
+    choice = jax.random.randint(rng, (b,), 0, len(cands))
+    stack = jnp.stack(cands, axis=1)
+    onehot = jax.nn.one_hot(choice, len(cands),
+                            dtype=x.dtype)[:, :, None, None, None]
+    return jnp.sum(stack * onehot, axis=1)
+
+
+def down_up(rng: jax.Array, x: jnp.ndarray,
+            scale_range: Tuple[float, float] = (1.0, 2.0),
+            algos: Sequence[int] = (1, 2)) -> jnp.ndarray:
+    """Random down-then-up resize round trip at the same size
+    (ref MLResize/down_up, augmentations.py:165). One intermediate size per
+    batch (static shapes) — factor drawn from python RNG at trace time is
+    replaced by the midpoint; per-sample variety comes from algo choice."""
+    b, h, w, c = x.shape
+    f = (scale_range[0] + scale_range[1]) / 2.0
+    mid = (max(8, int(h / f)), max(8, int(w / f)))
+    r1, r2 = jax.random.split(rng)
+    y = random_resize(r1, x, mid, algos)
+    return random_resize(r2, y, (h, w), algos)
+
+
+def nearest_aligned_downscale(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Aligned nearest downsample fixing the 0.5*(s-1) px shift
+    (ref augmennt AlignedDownsample:2577): pick the top-left phase pixel."""
+    return x[:, ::scale, ::scale, :]

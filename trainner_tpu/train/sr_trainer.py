@@ -165,8 +165,10 @@ class SRTrainer:
         lr_in = jnp.zeros(lr_shape, jnp.float32)
         if self.unshuffle_scale:
             lr_in = space_to_depth(lr_in, self.unshuffle_scale)
-        g_vars = self.netG.init({"params": rg, "noise": rg}, lr_in,
-                                train=False)
+        # jit the inits: eager init dispatches hundreds of tiny programs,
+        # which is pathological on remote-compile backends
+        g_vars = jax.jit(lambda r, x: self.netG.init(
+            {"params": r, "noise": r}, x, train=False))(rg, lr_in)
         g_extra = {k: v for k, v in g_vars.items() if k != "params"}
         g = NetState(params=g_vars["params"],
                      opt_state=self.optG.init(g_vars["params"]),
@@ -177,8 +179,8 @@ class SRTrainer:
                 b, h, w, c = lr_shape
                 hr_shape = (b, h * self.scale, w * self.scale,
                             int(self.opt["network_G"].get("out_nc", 3)))
-            d_vars = self.netD.init(rd, jnp.zeros(hr_shape, jnp.float32),
-                                    train=False)
+            d_vars = jax.jit(lambda r, x: self.netD.init(
+                r, x, train=False))(rd, jnp.zeros(hr_shape, jnp.float32))
             d_extra = {k: v for k, v in d_vars.items() if k != "params"}
             d = NetState(params=d_vars["params"],
                          opt_state=self.optD.init(d_vars["params"]),
@@ -418,6 +420,50 @@ class SRTrainer:
     def eval_step(self, state: SRTrainState, lr_img) -> jnp.ndarray:
         """Inference forward (ref sr_model.test:269)."""
         return self._eval_step(state.g, lr_img)
+
+    def eval_step_chop(self, state: SRTrainState, lr_img,
+                       patch_size: int = 128,
+                       overlap: int = 16) -> jnp.ndarray:
+        """Tiled inference for large inputs (ref sr_model.test_chop:319,
+        dataops/common.py extract_patches_2d:575 / recompose_tensor:695).
+
+        TPU-native: fixed patch size -> ONE jit specialization regardless of
+        image size; tiles are batched through the net in one call; overlaps
+        blend by uniform averaging of contributing tiles.
+        """
+        b, h, w, c = lr_img.shape
+        s = self.scale
+        p = min(patch_size, h, w)
+        step = max(p - overlap, 1)
+        ys = list(range(0, max(h - p, 0) + 1, step))
+        xs = list(range(0, max(w - p, 0) + 1, step))
+        if ys[-1] != h - p:
+            ys.append(h - p)
+        if xs[-1] != w - p:
+            xs.append(w - p)
+        tiles = jnp.concatenate(
+            [lr_img[:, y:y + p, x:x + p, :] for y in ys for x in xs], axis=0)
+        outs = []
+        for i in range(0, tiles.shape[0], 32):
+            outs.append(self.eval_step(state, tiles[i:i + 32]))
+        out_tiles = jnp.concatenate(outs, axis=0)
+        acc = jnp.zeros((b, h * s, w * s, out_tiles.shape[-1]), jnp.float32)
+        cnt = jnp.zeros((b, h * s, w * s, 1), jnp.float32)
+        k = 0
+        for y in ys:
+            for x in xs:
+                tile = out_tiles[k * b:(k + 1) * b]
+                acc = jax.lax.dynamic_update_slice(
+                    acc, jax.lax.dynamic_slice(
+                        acc, (0, y * s, x * s, 0), tile.shape) + tile,
+                    (0, y * s, x * s, 0))
+                cnt = jax.lax.dynamic_update_slice(
+                    cnt, jax.lax.dynamic_slice(
+                        cnt, (0, y * s, x * s, 0),
+                        (b, p * s, p * s, 1)) + 1.0,
+                    (0, y * s, x * s, 0))
+                k += 1
+        return acc / cnt
 
     def eval_step_x8(self, state: SRTrainState, lr_img) -> jnp.ndarray:
         """x8 geometric self-ensemble (ref sr_model.test_x8:279)."""

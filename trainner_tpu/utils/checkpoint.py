@@ -1,0 +1,116 @@
+"""Checkpoint / resume.
+
+TPU-native replacement for the reference's two-artifact scheme
+(ref codes/models/base_model.py: save_network:353 -> {iter}_{name}.pth,
+save_training_state:454 -> {iter}.state, resume_training:479; previous-copy
+backups :359-361,474-476; `latest` overwrite mode ref train.py:283-295).
+
+Design: the whole functional TrainState (params, optimizer moments,
+SWA/EMA averages, rng, step) serializes as one msgpack blob via
+flax.serialization — single-writer (process 0) multi-host safe since
+params are replicated/addressable; per-network param-only exports keep the
+{iter}_{net} naming so tooling (net_interp, model release) stays familiar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from .logging_utils import sorted_nicely
+
+CKPT_EXT = ".ckpt"
+STATE_EXT = ".state"
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _backup(path: str) -> None:
+    """Keep a previous_* copy before overwrite (ref base_model.py:359)."""
+    if os.path.exists(path):
+        d, b = os.path.split(path)
+        shutil.copy2(path, os.path.join(d, "previous_" + b))
+
+
+def save_params(params: Any, path: str, backup: bool = True) -> None:
+    """Save one network's params (ref save_network:353)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if backup and os.path.exists(path):
+        _backup(path)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(_to_host(params)))
+
+
+def load_params(path: str, target: Any = None) -> Any:
+    with open(path, "rb") as f:
+        data = f.read()
+    if target is not None:
+        return serialization.from_bytes(target, data)
+    return serialization.msgpack_restore(data)
+
+
+def save_state(state: Any, path: str, epoch: int = 0,
+               backup: bool = True) -> None:
+    """Save the full TrainState + a JSON sidecar with {epoch, iter}
+    (ref save_training_state:454)."""
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if backup and os.path.exists(path):
+        _backup(path)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(_to_host(state)))
+    meta = {"epoch": int(epoch), "iter": int(state.step)}
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_state(path: str, target: Any):
+    """Restore a TrainState in-place-shape onto `target`; returns
+    (state, meta) (ref resume_training:479)."""
+    with open(path, "rb") as f:
+        state = serialization.from_bytes(target, f.read())
+    meta = {"epoch": 0, "iter": int(state.step)}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def latest_state_path(state_dir: str) -> Optional[str]:
+    """Find the newest .state file in a dir (ref train.py:85-100)."""
+    if not os.path.isdir(state_dir):
+        return None
+    states = [f for f in os.listdir(state_dir) if f.endswith(STATE_EXT)]
+    if not states:
+        return None
+    return os.path.join(state_dir, sorted_nicely(states)[-1])
+
+
+def save_checkpoint(state: Any, opt: dict, epoch: int, niter: int,
+                    latest_only: bool = False) -> None:
+    """Save per-network params + full training state
+    (ref train.py:283-296 + base_model.save/save_training_state)."""
+    model_dir = opt["path"]["models"]
+    state_dir = opt["path"]["training_state"]
+    tag = "latest" if latest_only else str(niter)
+    save_params(state.g.params, os.path.join(model_dir, f"{tag}_G{CKPT_EXT}"))
+    if getattr(state, "d", None) is not None:
+        save_params(state.d.params,
+                    os.path.join(model_dir, f"{tag}_D{CKPT_EXT}"))
+    if getattr(state, "swa_params", None) is not None:
+        save_params(state.swa_params,
+                    os.path.join(model_dir, f"{tag}_swaG{CKPT_EXT}"))
+    if getattr(state, "ema_params", None) is not None:
+        save_params(state.ema_params,
+                    os.path.join(model_dir, f"{tag}_emaG{CKPT_EXT}"))
+    save_state(state, os.path.join(state_dir, f"{tag}{STATE_EXT}"),
+               epoch=epoch)
