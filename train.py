@@ -181,11 +181,13 @@ def validate(trainer, state, val_loader, opt, epoch, current_step,
     scale = int(opt.get("scale") or 1)
     znorm = False
     for i, batch in enumerate(val_loader):
-        lr = jnp.asarray(batch["LR"])
+        in_key = "LR" if "LR" in batch else "A"
+        gt_key = "HR" if "HR" in batch or in_key == "LR" else "B"
+        lr = jnp.asarray(batch[in_key])
         sr = np.asarray(trainer.eval_step(state, lr))
-        gt = batch.get("HR")
+        gt = batch.get(gt_key)
         name = os.path.splitext(os.path.basename(
-            batch.get("LR_path", [str(i)])[0]))[0]
+            batch.get(f"{in_key}_path", [str(i)])[0]))[0]
         sr_img = tensor2img(sr[0], znorm)
         if gt is not None:
             metrics.calculate_metrics(sr_img, tensor2img(gt[0], znorm),

@@ -102,6 +102,14 @@ def save_checkpoint(state: Any, opt: dict, epoch: int, niter: int,
     model_dir = opt["path"]["models"]
     state_dir = opt["path"]["training_state"]
     tag = "latest" if latest_only else str(niter)
+    if hasattr(state, "named_params"):
+        # multi-net states (cyclegan G_A/G_B/D_A/D_B, wbc D_S/D_T)
+        for net_name, params in state.named_params().items():
+            save_params(params, os.path.join(
+                model_dir, f"{tag}_{net_name}{CKPT_EXT}"))
+        save_state(state, os.path.join(state_dir, f"{tag}{STATE_EXT}"),
+                   epoch=epoch)
+        return
     save_params(state.g.params, os.path.join(model_dir, f"{tag}_G{CKPT_EXT}"))
     if getattr(state, "d", None) is not None:
         save_params(state.d.params,
