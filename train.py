@@ -103,6 +103,18 @@ def create_trainer(opt, mesh=None):
 
         return SRTrainer(opt, mesh=mesh, dtype=jnp.bfloat16
                          if opt.get("use_amp", True) else jnp.float32)
+    if model in ("srflow",):
+        from trainner_tpu.train.srflow_trainer import SRFlowTrainer
+
+        return SRFlowTrainer(opt, mesh=mesh)
+    if model in ("vsr", "vsrgan", "evsrgan", "video"):
+        from trainner_tpu.train.vsr_trainer import VSRTrainer
+
+        return VSRTrainer(opt, mesh=mesh)
+    if model in ("dvd",):
+        from trainner_tpu.train.dvd_trainer import DVDTrainer
+
+        return DVDTrainer(opt, mesh=mesh)
     if model in ("ppon",):
         from trainner_tpu.train.ppon_trainer import PPONTrainer
 
