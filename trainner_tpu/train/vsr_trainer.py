@@ -1,0 +1,240 @@
+"""Video SR trainer (SOF-VSR / EVSRGAN / SR3D / EDVR strategies).
+
+Equivalent of ref codes/models/VSR_model.py:20 (VSRModel): 5-D clips
+(b, t, h, w, c), center-frame supervision, optional optical-flow
+reconstruction loss over the 3 OFR pyramid levels with weights
+lambda1/2/4 (ref :225-248, modules/loss.py OFR_loss:568), optional GAN on
+the center frame.
+
+TPU-native: same functional jitted-step design as SRTrainer; the network
+is any of the video generators (sofvsr returns (flows..., sr), others
+return sr directly).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..losses.gan import build_adversarial
+from ..losses.generator_loss import GeneratorLoss
+from ..models.networks import define_D, define_G
+from ..ops.warp import flow_warp_vsr
+from .optimizers import build_optimizer
+from .schedulers import build_scheduler
+from .state import NetState, SRTrainState
+from .sr_trainer import clip_grads
+
+
+def tv_sum(flow: jnp.ndarray) -> jnp.ndarray:
+    """TV regularizer with sum reduction (ref loss.py OFR_loss reg)."""
+    dh = jnp.abs(flow[:, 1:] - flow[:, :-1])
+    dw = jnp.abs(flow[:, :, 1:] - flow[:, :, :-1])
+    return jnp.sum(dh) / flow.shape[0] + jnp.sum(dw) / flow.shape[0]
+
+
+def ofr_loss(x0: jnp.ndarray, x1: jnp.ndarray, flow: jnp.ndarray,
+             reg_weight: float = 0.1) -> jnp.ndarray:
+    """Optical-flow reconstruction loss (ref OFR_loss:568):
+    |x1 - warp(x0, flow)| + reg * TV(flow)."""
+    warped = flow_warp_vsr(x0, flow)
+    return jnp.mean(jnp.abs(x1 - warped)) + reg_weight * tv_sum(flow)
+
+
+class VSRTrainer:
+    def __init__(self, opt: dict, mesh: Optional[Mesh] = None,
+                 dtype=jnp.float32):
+        self.opt = opt
+        self.mesh = mesh
+        train_opt = opt.get("train") or {}
+        self.train_opt = train_opt
+        self.scale = int(opt.get("scale", 4) or 4)
+        self.netG = define_G(opt, dtype=dtype)
+        self.gan_weight = float(train_opt.get("gan_weight") or 0.0)
+        self.use_gan = bool(self.gan_weight) and opt.get("is_train", True)
+        self.netD = define_D(opt, dtype=dtype) if self.use_gan else None
+        self.generator_loss = GeneratorLoss(opt, device_dtype=dtype) \
+            if opt.get("is_train", True) else None
+        self.adversarial = build_adversarial(train_opt) if self.use_gan \
+            else None
+        # OFR loss weights (ref VSR_model.py:67-79; paper lambdas)
+        self.ofr_weight = float(train_opt.get("ofr_weight", 0) or 0)
+        self.ofr_wl1 = float(train_opt.get("ofr_wl1", 0.1) or 0.1)
+        self.ofr_wl2 = float(train_opt.get("ofr_wl2", 0.2) or 0.2)
+        self.ofr_reg = float(train_opt.get("ofr_reg", 0.1) or 0.1)
+
+        niter = int(float(train_opt.get("niter", 5e5) or 5e5))
+        self.optG = build_optimizer(train_opt.get("optim_G", "adam"))
+        self.schedG = build_scheduler(train_opt,
+                                      base_lr=train_opt.get("lr_G", 1e-4),
+                                      niter=niter)
+        if self.use_gan:
+            self.optD = build_optimizer(train_opt.get("optim_D", "adam"))
+            self.schedD = build_scheduler(
+                train_opt,
+                base_lr=train_opt.get("lr_D", train_opt.get("lr_G", 1e-4)),
+                niter=niter)
+        self.grad_clip = train_opt.get("grad_clip")
+        self.grad_clip_value = float(train_opt.get("grad_clip_value", 0.1)
+                                     or 0.1)
+        self._jit_step = None
+
+    # ------------------------------------------------------------------
+    def init_state_from_batch(self, rng, batch):
+        return self.init_state(rng, jnp.asarray(batch["LR"]).shape,
+                               jnp.asarray(batch["HR"]).shape)
+
+    def init_state(self, rng: jax.Array, lr_shape, hr_shape=None
+                   ) -> SRTrainState:
+        rng, rg, rd, rstate = jax.random.split(rng, 4)
+        lr0 = jnp.zeros(lr_shape, jnp.float32)
+        g_vars = jax.jit(lambda r, x: self.netG.init(
+            {"params": r, "noise": r}, x, train=False))(rg, lr0)
+        g = NetState(g_vars["params"], self.optG.init(g_vars["params"]),
+                     {k: v for k, v in g_vars.items() if k != "params"})
+        d = None
+        if self.use_gan:
+            b, t, h, w, c = lr_shape
+            hr0 = jnp.zeros((b, h * self.scale, w * self.scale, c),
+                            jnp.float32)
+            d_vars = jax.jit(lambda r, x: self.netD.init(
+                r, x, train=False))(rd, hr0)
+            d = NetState(d_vars["params"], self.optD.init(d_vars["params"]),
+                         {k: v for k, v in d_vars.items()
+                          if k != "params"})
+        return SRTrainState(step=jnp.zeros([], jnp.int32), rng=rstate,
+                            g=g, d=d)
+
+    # ------------------------------------------------------------------
+    def _g_forward(self, params, extra, lr_clip, rng, train):
+        variables = {"params": params, **extra}
+        mutable = [k for k in extra] if train and extra else False
+        out = self.netG.apply(variables, lr_clip, train=train,
+                              rngs={"noise": rng}, mutable=mutable)
+        new_extra = extra
+        if mutable:
+            out, new_extra = out
+            new_extra = dict(new_extra)
+        if isinstance(out, (tuple, list)) and len(out) == 4:
+            f1, f2, f3, sr = out
+            return (f1, f2, f3), sr.astype(jnp.float32), new_extra
+        return None, out.astype(jnp.float32), new_extra
+
+    def _train_step(self, state: SRTrainState, batch, lr_g, lr_d):
+        rng, r_n, r_gp = jax.random.split(state.rng, 3)
+        lr_clip = batch["LR"].astype(jnp.float32)  # (b, t, h, w, c)
+        hr_clip = batch["HR"].astype(jnp.float32)
+        n = lr_clip.shape[1]
+        center = (n - 1) // 2
+        hr_center = hr_clip[:, center] if hr_clip.ndim == 5 else hr_clip
+        logs: Dict[str, jnp.ndarray] = {}
+
+        def forward_g(params):
+            flows, sr, g_extra = self._g_forward(params, state.g.extra,
+                                                 lr_clip, r_n, True)
+            total, llogs = self.generator_loss(sr, hr_center)
+            if flows is not None and self.ofr_weight:
+                f1, f2, f3 = flows
+                others = [i for i in range(n) if i != center]
+                l_ofr = jnp.float32(0.0)
+                for k, i in enumerate(others):
+                    x_i, x_c = lr_clip[:, i], lr_clip[:, center]
+                    l1 = ofr_loss(
+                        jax.image.resize(x_i, (x_i.shape[0],
+                                               x_i.shape[1] // 2,
+                                               x_i.shape[2] // 2,
+                                               x_i.shape[3]), "linear"),
+                        jax.image.resize(x_c, (x_c.shape[0],
+                                               x_c.shape[1] // 2,
+                                               x_c.shape[2] // 2,
+                                               x_c.shape[3]), "linear"),
+                        f1[k], self.ofr_reg)
+                    l2 = ofr_loss(x_i, x_c, f2[k], self.ofr_reg)
+                    l3 = ofr_loss(hr_clip[:, i] if hr_clip.ndim == 5
+                                  else hr_center,
+                                  hr_center, f3[k], self.ofr_reg)
+                    l_ofr += l3 + self.ofr_wl2 * l2 + self.ofr_wl1 * l1
+                l_ofr = self.ofr_weight * l_ofr / max(len(others), 1)
+                llogs["ofr"] = l_ofr
+                total = total + l_ofr
+            if self.use_gan:
+                d_params = jax.lax.stop_gradient(state.d.params)
+
+                def d_fn(x):
+                    variables = {"params": d_params, **state.d.extra}
+                    return self.netD.apply(variables, x, train=False)
+
+                l_g_gan = self.adversarial.generator_loss(d_fn, sr,
+                                                          hr_center)
+                llogs["l_g_gan"] = l_g_gan
+                total = total + l_g_gan
+            return total, (llogs, sr, g_extra)
+
+        (loss_g, (glogs, sr, g_extra)), grads = jax.value_and_grad(
+            forward_g, has_aux=True)(state.g.params)
+        grads = clip_grads(grads, self.grad_clip, self.grad_clip_value)
+        g_params, g_opt = self.optG.apply(grads, state.g.opt_state,
+                                          state.g.params, lr_g)
+        new_g = NetState(g_params, g_opt, g_extra)
+        logs.update(glogs)
+        logs["l_g_total"] = loss_g
+
+        new_d = state.d
+        if self.use_gan:
+            fake = jax.lax.stop_gradient(sr)
+
+            def forward_d(d_params):
+                box = {}
+
+                def d_fn(x):
+                    variables = {"params": d_params, **state.d.extra}
+                    mutable = [k for k in state.d.extra] \
+                        if state.d.extra else False
+                    out = self.netD.apply(variables, x, train=True,
+                                          mutable=mutable)
+                    if mutable:
+                        out, extra = out
+                        box.update(dict(extra))
+                    return out
+
+                l_d, dlogs = self.adversarial.discriminator_loss(
+                    d_fn, fake, hr_center, gp_rng=r_gp)
+                return l_d, (dlogs, box)
+
+            (loss_d, (dlogs, d_extra)), dgrads = jax.value_and_grad(
+                forward_d, has_aux=True)(state.d.params)
+            dgrads = clip_grads(dgrads, self.grad_clip,
+                                self.grad_clip_value)
+            d_params, d_opt = self.optD.apply(dgrads, state.d.opt_state,
+                                              state.d.params, lr_d)
+            new_d = NetState(d_params, d_opt, d_extra or state.d.extra)
+            logs.update(dlogs)
+            logs["l_d_total"] = loss_d
+
+        return state.replace(step=state.step + 1, rng=rng, g=new_g,
+                             d=new_d), logs
+
+    def train_step(self, state: SRTrainState, batch: Dict[str, Any]):
+        lr_g = jnp.float32(self.schedG.get_lr(int(state.step)))
+        lr_d = jnp.float32(self.schedD.get_lr(int(state.step))) \
+            if self.use_gan else jnp.float32(0.0)
+        if self._jit_step is None:
+            self._jit_step = jax.jit(self._train_step, donate_argnums=(0,))
+        batch = {"LR": jnp.asarray(batch["LR"]),
+                 "HR": jnp.asarray(batch["HR"])}
+        return self._jit_step(state, batch, lr_g, lr_d)
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def _eval(self, g: NetState, lr_clip):
+        _, sr, _ = self._g_forward(g.params, g.extra,
+                                   lr_clip.astype(jnp.float32),
+                                   jax.random.PRNGKey(0), False)
+        return sr
+
+    def eval_step(self, state: SRTrainState, lr_clip) -> jnp.ndarray:
+        return self._eval(state.g, lr_clip)
