@@ -198,11 +198,38 @@ class SyntheticDataset:
                 "HR_path": str(index)}
 
 
+def _lazy(name):
+    def build(dataset_opt):
+        if name == "vid_train":
+            from .video_datasets import VidTrainDataset
+
+            return VidTrainDataset(dataset_opt)
+        if name == "vid_test":
+            from .video_datasets import VidTestDataset
+
+            return VidTestDataset(dataset_opt)
+        if name == "dvd":
+            from .video_datasets import DVDDataset
+
+            return DVDDataset(dataset_opt)
+        if name == "pbr":
+            from .pbr_dataset import PBRDataset
+
+            return PBRDataset(dataset_opt)
+        raise KeyError(name)
+
+    return build
+
+
 _DATASETS = {
     "aligned": AlignedDataset,
     "single": SingleDataset,
     "unaligned": UnalignedDataset,
     "synthetic": SyntheticDataset,
+    "vid_train": _lazy("vid_train"),
+    "vid_test": _lazy("vid_test"),
+    "dvd": _lazy("dvd"),
+    "pbr": _lazy("pbr"),
 }
 
 
@@ -210,10 +237,16 @@ def create_dataset(dataset_opt: dict):
     """Dataset factory (ref data/__init__.py create_dataset:49). Reference
     mode strings map onto the TPU-native dataset classes."""
     mode = (dataset_opt.get("mode") or "aligned").lower()
+    phase = dataset_opt.get("phase", "train")
     aliases = {"lrhr": "aligned", "lrhroft": "aligned", "aligned": "aligned",
                "lr": "single", "single": "single",
                "unaligned": "unaligned", "lrhrc": "aligned",
-               "synthetic": "synthetic"}
+               "synthetic": "synthetic",
+               # video modes (ref data/__init__.py dataset_mode video)
+               "video": "vid_train" if phase == "train" else "vid_test",
+               "vlrhr": "vid_train" if phase == "train" else "vid_test",
+               "dvd": "dvd", "dvdi": "dvd",
+               "lrhrpbr": "pbr", "pbr": "pbr"}
     key = aliases.get(mode, mode)
     if key not in _DATASETS:
         raise NotImplementedError(f"dataset mode [{mode}] not recognized")
