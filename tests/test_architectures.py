@@ -101,3 +101,71 @@ def test_flow_warp_shift():
     y = flow_warp_pix(x, flow, padding_mode="border")
     # sampling at x+1 -> value increases by 1 (except clamped border)
     assert jnp.allclose(y[0, :, :-1, 0], x[0, :, 1:, 0], atol=1e-5)
+
+
+def test_abpn():
+    y = _run({"network_G": {"type": "abpn_net", "dim": 8}}, (1, 8, 8, 3))
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_asr_resnet():
+    y = _run({"network_G": {"type": "asr_resnet", "scale": 4}},
+             (1, 8, 8, 3))
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_asr_cnn():
+    y = _run({"network_G": {"type": "asr_cnn", "scale": 4}}, (1, 8, 8, 3))
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_rife():
+    y = _run({"network_G": {"type": "rife_net", "c": 8}}, (1, 32, 32, 6))
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_sft_and_acd():
+    import numpy as np
+
+    from trainner_tpu.models.sft import ACDVGGBN96, SFTNet
+
+    rng = jax.random.PRNGKey(0)
+    m = SFTNet(nf=16, cond_nf=8, n_blocks=2)
+    img = jnp.ones((1, 8, 8, 3))
+    seg = jnp.ones((1, 32, 32, 8))
+    v = m.init(rng, img, seg, train=False)
+    y = m.apply(v, img, seg, train=False)
+    assert y.shape == (1, 32, 32, 3)
+    d = ACDVGGBN96()
+    v = d.init(rng, jnp.ones((1, 96, 96, 3)), train=False)
+    gan, cls = d.apply(v, jnp.ones((1, 96, 96, 3)), train=False)
+    assert gan.shape == (1, 1) and cls.shape == (1, 8)
+
+
+def test_edvr():
+    from trainner_tpu.models.edvr import EDVR
+
+    rng = jax.random.PRNGKey(0)
+    m = EDVR(num_feat=16, num_frame=3, deformable_groups=4,
+             num_extract_block=1, num_reconstruct_block=1,
+             center_frame_idx=1, upscale=4)
+    x = jnp.ones((1, 3, 8, 8, 3))
+    v = m.init(rng, x, train=False)
+    y = m.apply(v, x, train=False)
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_deform_conv_matches_plain_conv():
+    import numpy as np
+
+    from trainner_tpu.ops.deform_conv import modulated_deform_conv2d
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, 10, 12, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 16)) * 0.1
+    off = jnp.zeros((2, 10, 12, 2 * 2 * 9))
+    msk = jnp.ones((2, 10, 12, 2 * 9))
+    y = modulated_deform_conv2d(x, off, msk, w, deformable_groups=2)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert float(jnp.abs(y - ref).max()) < 1e-5

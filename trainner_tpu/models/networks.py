@@ -166,6 +166,48 @@ def _build_sft(cfg: dict, dtype):
     return SFTNet(dtype=dtype)
 
 
+def _build_abpn(cfg: dict, dtype):
+    from .abpn import ABPN
+
+    return ABPN(input_dim=cfg.get("input_dim", cfg.get("in_nc", 3)),
+                dim=cfg.get("dim", cfg.get("nf", 32)), dtype=dtype)
+
+
+def _build_asr_resnet(cfg: dict, dtype):
+    from .asrresnet import ASRResNet
+
+    return ASRResNet(
+        scale_factor=cfg.get("scale_factor", cfg.get("scale", 4)),
+        spectral_norm=bool(cfg.get("spectral_norm", True)),
+        self_attention=bool(cfg.get("self_attention", True)),
+        max_pool=bool(cfg.get("max_pool", False)),
+        poolsize=cfg.get("poolsize", 4), dtype=dtype)
+
+
+def _build_asr_cnn(cfg: dict, dtype):
+    from .asrresnet import ASRCNN
+
+    return ASRCNN(
+        upscale_factor=cfg.get("upscale_factor", cfg.get("scale", 4)),
+        spectral_norm=bool(cfg.get("spectral_norm", True)),
+        self_attention=bool(cfg.get("self_attention", True)),
+        max_pool=bool(cfg.get("max_pool", True)),
+        poolsize=cfg.get("poolsize", 4),
+        finalact=cfg.get("finalact"), dtype=dtype)
+
+
+def _build_rife(cfg: dict, dtype):
+    from .rife import RIFE
+
+    return RIFE(c=cfg.get("c", 16), dtype=dtype)
+
+
+def _build_seg(cfg: dict, dtype):
+    from .seg import OutdoorSceneSeg
+
+    return OutdoorSceneSeg(n_classes=cfg.get("n_classes", 8), dtype=dtype)
+
+
 def _build_a2n(cfg: dict, dtype):
     from .pan import AAN
 
@@ -191,6 +233,11 @@ _G_REGISTRY: Dict[str, Callable] = {
     "srflow_net": _build_srflow,
     "edvr_net": _build_edvr,
     "sft_arch": _build_sft,
+    "abpn_net": _build_abpn,
+    "asr_resnet": _build_asr_resnet,
+    "asr_cnn": _build_asr_cnn,
+    "rife_net": _build_rife,
+    "seg_arch": _build_seg,
 }
 
 
