@@ -1,0 +1,114 @@
+"""Convert reference PyTorch checkpoints to TPU-native .ckpt / .npz.
+
+Covers (one tool instead of the reference's scattered converters):
+  * ESRGAN/RRDB generators, both key layouts
+    (ref codes/models/networks.py mod2normal/normal2mod:401-481)
+    -> flax RRDBNet param .ckpt
+  * torchvision VGG feature weights -> npz for the perceptual loss
+    (trainner_tpu/models/perceptual.py load_vgg_npz)
+  * LPIPS linear-calibration weights (the files the reference bundles at
+    codes/models/modules/LPIPS/lpips_weights/) -> npz lin vectors
+  * the reverse direction: our .ckpt -> reference-layout .pth
+    (swa/ema-averaged params export — the swa2normal.py equivalent)
+
+Usage:
+  python scripts/convert_torch_model.py esrgan  in.pth out.ckpt
+  python scripts/convert_torch_model.py vgg     vgg19.pth out.npz
+  python scripts/convert_torch_model.py lpips   squeeze.pth out.npz
+  python scripts/convert_torch_model.py export  in.ckpt out.pth --nb 23
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def convert_esrgan(src: str, dst: str) -> None:
+    from trainner_tpu.utils.checkpoint import save_params
+    from trainner_tpu.utils.torch_interop import (esrgan_to_params,
+                                                  load_state_dict)
+
+    sd = load_state_dict(src)
+    params = esrgan_to_params(sd)
+    save_params(params, dst, backup=False)
+    print(f"ESRGAN params -> {dst}")
+
+
+def convert_vgg(src: str, dst: str) -> None:
+    """torchvision vgg .pth ('features.N.weight') -> conv{b}_{c} npz."""
+    from trainner_tpu.losses.lpips import LPIPS  # noqa: F401 (env check)
+    from trainner_tpu.models.perceptual import VGG_CFGS
+    from trainner_tpu.utils.torch_interop import (conv_to_hwio,
+                                                  load_state_dict)
+
+    sd = load_state_dict(src)
+    n_convs = sorted(int(k.split(".")[1]) for k in sd
+                     if k.startswith("features.") and k.endswith(".weight")
+                     and sd[k].ndim == 4)
+    arch = {8: "vgg11", 10: "vgg13", 13: "vgg16", 16: "vgg19"}[
+        len(n_convs)]
+    out = {}
+    it = iter(n_convs)
+    for b, reps in enumerate(VGG_CFGS[arch], start=1):
+        for c in range(1, reps + 1):
+            idx = next(it)
+            out[f"conv{b}_{c}/kernel"] = conv_to_hwio(
+                sd[f"features.{idx}.weight"])
+            out[f"conv{b}_{c}/bias"] = sd[f"features.{idx}.bias"]
+    np.savez(dst, **out)
+    print(f"{arch} features -> {dst}")
+
+
+def convert_lpips(src: str, dst: str) -> None:
+    from trainner_tpu.utils.torch_interop import load_state_dict
+
+    sd = load_state_dict(src)
+    out = {}
+    for k, v in sd.items():
+        if ".model.1.weight" in k or (k.startswith("lin")
+                                      and k.endswith("weight")):
+            i = k.split(".")[0].replace("lin", "")
+            out[f"lin{i}"] = v.reshape(-1)
+    np.savez(dst, **out)
+    print(f"LPIPS lin weights ({len(out)} layers) -> {dst}")
+
+
+def export_esrgan(src: str, dst: str, nb: int) -> None:
+    import torch
+
+    from trainner_tpu.utils.checkpoint import load_params
+    from trainner_tpu.utils.torch_interop import params_to_esrgan
+
+    params = load_params(src)
+    sd = params_to_esrgan(params, nb=nb)
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in sd.items()}, dst)
+    print(f"exported reference-layout state_dict -> {dst}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("kind", choices=["esrgan", "vgg", "lpips", "export"])
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--nb", type=int, default=23)
+    args = p.parse_args()
+    if args.kind == "esrgan":
+        convert_esrgan(args.src, args.dst)
+    elif args.kind == "vgg":
+        convert_vgg(args.src, args.dst)
+    elif args.kind == "lpips":
+        convert_lpips(args.src, args.dst)
+    else:
+        export_esrgan(args.src, args.dst, args.nb)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""PyTorch checkpoint interop: load reference .pth state_dicts into the
+TPU-native param trees.
+
+Equivalent of ref codes/models/base_model.py load_network:377 +
+codes/models/networks.py mod2normal/normal2mod:401-481 (ESRGAN old/"new"
+arch key layouts). Enables parity gating against reference-trained models
+(SURVEY.md §7.2 step 3) and model-zoo reuse.
+
+Conversions: torch conv weights are OIHW; flax nn.Conv kernels are HWIO
+(transpose 2,3,1,0). Linear weights are (out,in) -> (in,out).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch .pth state_dict (CPU, no grad) into numpy arrays."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    if isinstance(sd, dict) and "params" in sd and all(
+            hasattr(v, "numpy") for v in sd["params"].values()):
+        sd = sd["params"]
+    return {k: v.detach().numpy() for k, v in sd.items()
+            if hasattr(v, "numpy")}
+
+
+def conv_to_hwio(w: np.ndarray) -> np.ndarray:
+    """torch OIHW -> flax HWIO."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def detect_esrgan_arch(sd: Dict[str, np.ndarray]) -> str:
+    """'old' (model.* Sequential layout) or 'new' (named layout)
+    (ref networks.py:401-481)."""
+    if any(k.startswith("model.") for k in sd):
+        return "old"
+    if any(k.startswith(("conv_first", "RRDB_trunk")) for k in sd):
+        return "new"
+    raise ValueError("unrecognized ESRGAN state_dict layout")
+
+
+def _esrgan_old_to_named(sd: Dict[str, np.ndarray]
+                         ) -> Dict[str, np.ndarray]:
+    """Normalize old Sequential keys to the 'new' named layout
+    (the mod2normal direction, ref networks.py:446)."""
+    out = {}
+    nb = 1 + max((int(m.group(1)) for k in sd
+                  if (m := re.match(r"model\.1\.sub\.(\d+)\.RDB", k))),
+                 default=0)
+    for k, v in sd.items():
+        if k.startswith("model.0."):
+            out["conv_first." + k.split(".", 2)[2]] = v
+        elif (m := re.match(r"model\.1\.sub\.(\d+)\.(RDB\d\.conv\d(?:x\d)?"
+                            r"(?:\.0)?)\.(weight|bias)", k)):
+            i, mid, leaf = m.group(1), m.group(2), m.group(3)
+            mid = mid.replace(".0", "")
+            out[f"RRDB_trunk.{i}.{mid}.{leaf}"] = v
+        elif (m := re.match(r"model\.1\.sub\.(\d+)\.(weight|bias)", k)):
+            out["trunk_conv." + m.group(2)] = v
+        elif k.startswith("model.3."):
+            out["upconv1." + k.split(".", 2)[2]] = v
+        elif k.startswith("model.6."):
+            out["upconv2." + k.split(".", 2)[2]] = v
+        elif k.startswith("model.8."):
+            out["HRconv." + k.split(".", 2)[2]] = v
+        elif k.startswith("model.10."):
+            out["conv_last." + k.split(".", 2)[2]] = v
+    return out
+
+
+def esrgan_to_params(sd: Dict[str, np.ndarray],
+                     target_params: Optional[Dict] = None) -> Dict:
+    """Map an ESRGAN state_dict (either layout) onto the flax RRDBNet
+    param tree (models/rrdb.py naming).
+
+    Named-layout keys map as:
+      conv_first      -> fea_conv/Conv_0
+      RRDB_trunk.i.*  -> RRDB{i}/RDB{j}/conv{k}/Conv_0 (conv1x1 direct)
+      trunk_conv      -> LR_conv/Conv_0
+      upconv{k}       -> up{k-1}/ConvBlock_0/Conv_0
+      HRconv          -> HR_conv0/Conv_0
+      conv_last       -> HR_conv1/Conv_0
+    """
+    if detect_esrgan_arch(sd) == "old":
+        sd = _esrgan_old_to_named(sd)
+
+    tree: Dict[str, Any] = {}
+
+    def put(path, leaf, value):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        if leaf == "weight":
+            if value.ndim == 4:
+                node["kernel"] = conv_to_hwio(value)
+            else:
+                node["kernel"] = value.T
+        else:
+            node["bias"] = value
+
+    for k, v in sd.items():
+        parts = k.split(".")
+        leaf = parts[-1]
+        if parts[0] == "conv_first":
+            put(("fea_conv", "Conv_0"), leaf, v)
+        elif parts[0] == "RRDB_trunk":
+            i, rdb, conv = parts[1], parts[2], parts[3]
+            if conv == "conv1x1":
+                put((f"RRDB{i}", rdb, "conv1x1"), leaf, v)
+            else:
+                put((f"RRDB{i}", rdb, conv, "Conv_0"), leaf, v)
+        elif parts[0] == "trunk_conv":
+            put(("LR_conv", "Conv_0"), leaf, v)
+        elif (m := re.match(r"upconv(\d+)", parts[0])):
+            put((f"up{int(m.group(1)) - 1}", "ConvBlock_0", "Conv_0"),
+                leaf, v)
+        elif parts[0] == "HRconv":
+            put(("HR_conv0", "Conv_0"), leaf, v)
+        elif parts[0] == "conv_last":
+            put(("HR_conv1", "Conv_0"), leaf, v)
+
+    if target_params is not None:
+        _check_shapes(tree, target_params, "")
+    return tree
+
+
+def _check_shapes(src: Dict, dst: Dict, path: str) -> None:
+    """Tolerant shape validation (ref load_network:413-419 logs and skips
+    mismatched keys; we raise with a precise path instead)."""
+    for k, v in src.items():
+        if k not in dst:
+            raise KeyError(f"converted key {path}/{k} missing in target")
+        if isinstance(v, dict):
+            _check_shapes(v, dst[k], f"{path}/{k}")
+        elif tuple(v.shape) != tuple(np.shape(dst[k])):
+            raise ValueError(
+                f"shape mismatch at {path}/{k}: "
+                f"{v.shape} vs {np.shape(dst[k])}")
+
+
+def params_to_esrgan(params: Dict, nb: int) -> Dict[str, np.ndarray]:
+    """Export our RRDBNet params to the reference 'new'-layout state_dict
+    (for releasing models usable by the reference / chaiNNer etc.)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv_from(node):
+        k = np.asarray(node["kernel"])
+        out = {"weight": np.ascontiguousarray(k.transpose(3, 2, 0, 1))}
+        if "bias" in node:
+            out["bias"] = np.asarray(node["bias"])
+        return out
+
+    def emit(name, node):
+        for leaf, v in conv_from(node).items():
+            sd[f"{name}.{leaf}"] = v
+
+    emit("conv_first", params["fea_conv"]["Conv_0"])
+    for i in range(nb):
+        blk = params[f"RRDB{i}"]
+        for rdb_name, rdb in blk.items():
+            for conv_name, conv in rdb.items():
+                if conv_name == "conv1x1":
+                    emit(f"RRDB_trunk.{i}.{rdb_name}.conv1x1", conv)
+                elif conv_name.startswith("conv"):
+                    emit(f"RRDB_trunk.{i}.{rdb_name}.{conv_name}",
+                         conv["Conv_0"])
+    emit("trunk_conv", params["LR_conv"]["Conv_0"])
+    i = 0
+    while f"up{i}" in params:
+        emit(f"upconv{i + 1}", params[f"up{i}"]["ConvBlock_0"]["Conv_0"])
+        i += 1
+    emit("HRconv", params["HR_conv0"]["Conv_0"])
+    emit("conv_last", params["HR_conv1"]["Conv_0"])
+    return sd
