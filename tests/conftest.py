@@ -17,6 +17,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from trainner_tpu.utils.jax_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import pytest  # noqa: E402
 
 

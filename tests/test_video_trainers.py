@@ -103,3 +103,50 @@ def test_ppon_trainer_phases():
     assert "l_d_total" in logs
     y = tr.eval_step(state, jnp.asarray(batch["LR"]))
     assert y.shape == (1, 32, 32, 3)
+
+
+def test_sftgan_trainer():
+    from trainner_tpu.train.sftgan_trainer import SFTGANTrainer
+
+    opt = {"is_train": True, "scale": 4, "model": "sftgan",
+           "network_G": {"type": "sft_arch", "nf": 16, "cond_nf": 8,
+                         "n_blocks": 2},
+           "train": {"lr_G": 1e-4, "lr_D": 1e-4, "niter": 100,
+                     "pixel_criterion": "l1", "pixel_weight": 1.0,
+                     "gan_type": "vanilla", "gan_weight": 5e-3,
+                     "lr_scheme": "MultiStepLR", "lr_steps": [50]}}
+    tr = SFTGANTrainer(opt)
+    rng = np.random.default_rng(4)
+    batch = {"LR": rng.random((1, 24, 24, 3), np.float32),
+             "seg": rng.random((1, 96, 96, 8), np.float32),
+             "HR": rng.random((1, 96, 96, 3), np.float32)}
+    state = tr.init_state_from_batch(jax.random.PRNGKey(0), batch)
+    state, logs = tr.train_step(state, batch)
+    assert np.isfinite(float(logs["l_g_total"]))
+    assert np.isfinite(float(logs["l_d_cls"]))
+    y = tr.eval_step(state, jnp.asarray(batch["LR"]),
+                     jnp.asarray(batch["seg"]))
+    assert y.shape == (1, 96, 96, 3)
+
+
+def test_pbr_trainer_multi_map():
+    from trainner_tpu.train.pbr_trainer import PBRTrainer
+
+    opt = {"is_train": True, "scale": 2, "model": "pbr",
+           "network_G": {"type": "rrdb_net", "nf": 8, "nb": 1, "gc": 4,
+                         "upscale": 2},
+           "train": {"lr_G": 1e-4, "niter": 100, "pixel_criterion": "l1",
+                     "pixel_weight": 1.0, "lr_scheme": "MultiStepLR",
+                     "lr_steps": [50]}}
+    tr = PBRTrainer(opt)
+    rng = np.random.default_rng(5)
+    batch = {"LR_diffuse": rng.random((1, 8, 8, 3), np.float32),
+             "HR_diffuse": rng.random((1, 16, 16, 3), np.float32),
+             "LR_height": rng.random((1, 8, 8, 1), np.float32),
+             "HR_height": rng.random((1, 16, 16, 1), np.float32),
+             "LR": rng.random((1, 8, 8, 3), np.float32)}
+    state = tr.init_state_from_batch(jax.random.PRNGKey(0), batch)
+    state, logs = tr.train_step(state, batch)
+    assert np.isfinite(float(logs["l_g_total"]))
+    assert any(k.endswith("_diffuse") for k in logs)
+    assert any(k.endswith("_height") for k in logs)

@@ -98,7 +98,15 @@ def create_trainer(opt, mesh=None):
     import jax.numpy as jnp
 
     model = (opt.get("model") or "sr").lower()
-    if model in ("sr", "srgan", "srragan", "sr_pbr", "pbr"):
+    if model in ("sftgan", "sftgan_acd"):
+        from trainner_tpu.train.sftgan_trainer import SFTGANTrainer
+
+        return SFTGANTrainer(opt, mesh=mesh)
+    if model in ("pbr", "sr_pbr", "pbr_sr"):
+        from trainner_tpu.train.pbr_trainer import PBRTrainer
+
+        return PBRTrainer(opt, mesh=mesh)
+    if model in ("sr", "srgan", "srragan"):
         from trainner_tpu.train.sr_trainer import SRTrainer
 
         return SRTrainer(opt, mesh=mesh, dtype=jnp.bfloat16

@@ -99,8 +99,11 @@ def ada_target(output: jnp.ndarray, target: jnp.ndarray,
     out_p = _extract_patches(jax.lax.stop_gradient(output), po)
     tgt_big = _center_patches(target, pt, po)  # (N, 9, 9)
 
-    theta = loc_net.apply({"params": loc_params}, out_p, tgt_big)
-    theta = jax.lax.stop_gradient(theta)
+    # theta stays differentiable w.r.t. LocNet params (the reference
+    # trains LocNet jointly through the pixel loss, ref sr_model.py:45-47);
+    # the patch inputs are detached so G cannot cheat through alignment
+    theta = loc_net.apply({"params": loc_params}, out_p,
+                          jax.lax.stop_gradient(tgt_big))
 
     # sample a po x po grid inside each 9x9 target patch via the affine
     n = out_p.shape[0]

@@ -127,6 +127,29 @@ class SRTrainer:
         self.unshuffle_scale = int(opt.get("unshuffle_scale", 0) or 0) \
             if opt.get("use_unshuffle") else 0
 
+        # CEM wrapper (ref base_model.setup_cem:746): project G outputs
+        # onto the downscale-consistency subspace inside the jitted step
+        self.use_cem = bool(opt.get("use_cem"))
+        self.cem_kernel = (opt.get("cem") or {}).get("kernel", "box") \
+            if isinstance(opt.get("cem"), dict) else "box"
+
+        # AdaTarget (ref base_model.setup_atg:603): LocNet-aligned targets
+        self.use_atg = bool(opt.get("use_atg"))
+        self.atg_start_iter = int(float(train_opt.get("atg_start_iter", 0)
+                                        or 0))
+        if self.use_atg:
+            from ..ops.adatarget import LocNet
+
+            self.loc_net = LocNet()
+        else:
+            self.loc_net = None
+
+        # FreezeD (ref base_model.setup_freezeD:663): freeze the first
+        # `freeze_loc` D layers during finetune
+        self.freeze_loc = int(train_opt.get("freeze_loc", 0) or 0) \
+            if train_opt.get("freeze_d") or train_opt.get("freeze_loc") \
+            else 0
+
         # batchaug / diffaug / freq-sep ---------------------------------
         self.batchaug = None
         if train_opt.get("mixup"):
@@ -185,8 +208,15 @@ class SRTrainer:
             d = NetState(params=d_vars["params"],
                          opt_state=self.optD.init(d_vars["params"]),
                          extra=d_extra)
+        loc = None
+        if self.use_atg:
+            rng, rl = jax.random.split(rng)
+            lv = self.loc_net.init(rl, jnp.zeros((1, 7, 7)),
+                                   jnp.zeros((1, 9, 9)))
+            loc = NetState(params=lv["params"],
+                           opt_state=self.optG.init(lv["params"]))
         state = SRTrainState(step=jnp.zeros([], jnp.int32), rng=rstate,
-                             g=g, d=d)
+                             g=g, d=d, loc=loc)
         if self.use_swa:
             state = init_swa(state)
         if self.use_ema:
@@ -226,7 +256,8 @@ class SRTrainer:
     # ------------------------------------------------------------------
     def _train_step(self, state: SRTrainState, batch: Dict[str, jnp.ndarray],
                     lr_g: jnp.ndarray, lr_d: jnp.ndarray,
-                    *, update_d: bool, update_g: bool
+                    *, update_d: bool, update_g: bool,
+                    atg_on: bool = False
                     ) -> Tuple[SRTrainState, Dict[str, jnp.ndarray]]:
         rng, r_aug, r_da, r_gp, r_noise = jax.random.split(state.rng, 5)
         lr_img = batch["LR"].astype(jnp.float32)
@@ -244,10 +275,20 @@ class SRTrainer:
                 lr_img = interpolate(lr_img, scale=1.0 / self.scale,
                                      method="nearest")
 
-        def forward_g(params, lr_c, hr_c, msk):
+        def forward_g(params, lr_c, hr_c, msk, loc_params=None):
             g = state.g.replace(params=params)
             fake, new_extra = self._g_apply(g, lr_c, r_noise, train=True)
             fake = fake.astype(jnp.float32)
+            if self.use_cem:
+                from ..ops.cem import cem_project
+
+                fake = cem_project(fake, lr_c.astype(jnp.float32),
+                                   self.scale, kernel=self.cem_kernel)
+            if loc_params is not None:
+                # AdaTarget: align the target to the output per patch
+                from ..ops.adatarget import ada_target
+
+                hr_c = ada_target(fake, hr_c, loc_params, self.loc_net)
             if msk is not None:
                 fake_l = fake * msk
                 hr_l = hr_c * msk
@@ -299,8 +340,24 @@ class SRTrainer:
 
         new_g = state.g
         fake_for_d = None
+        new_loc = state.loc
         if update_g:
-            if A == 1:
+            if self.use_atg and state.loc is not None and atg_on:
+                # joint grads over (G, LocNet) (ref sr_model.py:45-47)
+                def fwd_joint(gp, lp):
+                    return forward_g(gp, lr_img, hr_img, mask,
+                                     loc_params=lp)
+
+                (loss_g, (glogs, fake_for_d, g_extra)), (grads, lgrads) = \
+                    jax.value_and_grad(fwd_joint, argnums=(0, 1),
+                                       has_aux=True)(
+                        state.g.params, state.loc.params)
+                lgrads = clip_grads(lgrads, self.grad_clip,
+                                    self.grad_clip_value)
+                lp, lo = self.optG.apply(lgrads, state.loc.opt_state,
+                                         state.loc.params, lr_g)
+                new_loc = NetState(lp, lo)
+            elif A == 1:
                 (loss_g, (glogs, fake_for_d, g_extra)), grads = \
                     jax.value_and_grad(forward_g, has_aux=True)(
                         state.g.params, lr_img, hr_img, mask)
@@ -359,13 +416,21 @@ class SRTrainer:
                 dlogs = jax.tree.map(jnp.mean, dlogs)
                 d_extra = jax.tree.map(lambda x: x[-1], d_extra)
             dgrads = clip_grads(dgrads, self.grad_clip, self.grad_clip_value)
+            if self.freeze_loc:
+                # FreezeD (ref base_model.py:663): zero grads of the first
+                # freeze_loc feature layers (name-sorted module order)
+                frozen = set(sorted(dgrads)[:self.freeze_loc])
+                dgrads = {k: (jax.tree.map(jnp.zeros_like, v)
+                              if k in frozen else v)
+                          for k, v in dgrads.items()}
             d_params, d_opt = self.optD.apply(
                 dgrads, state.d.opt_state, state.d.params, lr_d)
             new_d = NetState(d_params, d_opt, d_extra or state.d.extra)
             logs.update(dlogs)
             logs["l_d_total"] = loss_d
 
-        state = state.replace(step=state.step + 1, rng=rng, g=new_g, d=new_d)
+        state = state.replace(step=state.step + 1, rng=rng, g=new_g,
+                              d=new_d, loc=new_loc)
         if self.use_ema:
             state = ema_update(state, self.ema_decay)
         return state, logs
@@ -373,11 +438,12 @@ class SRTrainer:
     # ------------------------------------------------------------------
     # public jitted entry
     # ------------------------------------------------------------------
-    def _get_step_fn(self, update_d: bool, update_g: bool) -> Callable:
-        key = (update_d, update_g)
+    def _get_step_fn(self, update_d: bool, update_g: bool,
+                     atg_on: bool = False) -> Callable:
+        key = (update_d, update_g, atg_on)
         if key not in self._jit_cache:
             fn = functools.partial(self._train_step, update_d=update_d,
-                                   update_g=update_g)
+                                   update_g=update_g, atg_on=atg_on)
             if self.mesh is not None:
                 bsh = batch_sharding(self.mesh)
                 repl = NamedSharding(self.mesh, P())
@@ -399,7 +465,8 @@ class SRTrainer:
         update_g = (not self.use_gan) or (
             step % self.d_update_ratio == 0 and step >= self.d_init_iters)
         update_d = self.use_gan
-        fn = self._get_step_fn(update_d, update_g)
+        atg_on = self.use_atg and step >= self.atg_start_iter
+        fn = self._get_step_fn(update_d, update_g, atg_on)
         state, logs = fn(state, batch, jnp.float32(lr_g), jnp.float32(lr_d))
         if self.use_swa and self.swa_start_iter and \
                 step >= self.swa_start_iter:
@@ -415,7 +482,12 @@ class SRTrainer:
     def _eval_step(self, g: NetState, lr_img, use_ema_or_swa: str = ""):
         x = lr_img.astype(jnp.float32)
         y, _ = self._g_apply(g, x, jax.random.PRNGKey(0), train=False)
-        return y.astype(jnp.float32)
+        y = y.astype(jnp.float32)
+        if self.use_cem:
+            from ..ops.cem import cem_project
+
+            y = cem_project(y, x, self.scale, kernel=self.cem_kernel)
+        return y
 
     def eval_step(self, state: SRTrainState, lr_img) -> jnp.ndarray:
         """Inference forward (ref sr_model.test:269)."""

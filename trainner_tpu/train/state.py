@@ -48,6 +48,7 @@ class SRTrainState(struct.PyTreeNode):
     swa_params: Optional[Any] = None
     swa_n: Optional[jnp.ndarray] = None
     ema_params: Optional[Any] = None
+    loc: Optional[NetState] = None  # AdaTarget LocNet (ref setup_atg:603)
 
     @property
     def int_step(self) -> int:
