@@ -96,8 +96,9 @@ def test_ppon_trainer_phases():
     assert float(logs["ppon_phase"]) == 1.0
     ssim_after = np.asarray(jax.tree.leaves(state.g.params["ssim0"])[0])
     assert np.allclose(ssim_before, ssim_after)  # frozen in phase 1
-    # advance to phase 3 (gan active)
+    # advance to phase 3 (gan active); sync the host step mirror too
     state = state.replace(step=jnp.asarray(4, jnp.int32))
+    tr._host_step = 4
     state, logs = tr.train_step(state, batch)
     assert float(logs["ppon_phase"]) == 3.0
     assert "l_d_total" in logs

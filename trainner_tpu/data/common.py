@@ -198,3 +198,26 @@ def save_img(img: np.ndarray, path: str) -> None:
         from PIL import Image
 
         Image.fromarray(img).save(path)
+
+
+def merge_imgs(imgs, axis: int = 1) -> np.ndarray:
+    """Concatenate images side by side, padding to a common height/width
+    (ref utils/util.py merge_imgs:123)."""
+    imgs = [np.asarray(i) for i in imgs]
+    hmax = max(i.shape[0] for i in imgs)
+    wmax = max(i.shape[1] for i in imgs)
+    padded = []
+    for i in imgs:
+        ph, pw = hmax - i.shape[0], wmax - i.shape[1]
+        if axis == 1:
+            pad = ((0, ph), (0, 0), (0, 0))[:i.ndim]
+        else:
+            pad = ((0, 0), (0, pw), (0, 0))[:i.ndim]
+        padded.append(np.pad(i, pad))
+    return np.concatenate(padded, axis=axis)
+
+
+def save_img_comp(imgs, path: str) -> None:
+    """Save a side-by-side comparison grid (ref utils/util.py
+    save_img_comp:151; used for val image dumps)."""
+    save_img(merge_imgs(imgs, axis=1), path)

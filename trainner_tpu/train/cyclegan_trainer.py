@@ -259,7 +259,11 @@ class CycleGANTrainer:
     # ------------------------------------------------------------------
     def train_step(self, state: CycleGANState, batch: Dict[str, Any]
                    ) -> Tuple[CycleGANState, Dict[str, jnp.ndarray]]:
-        lr_g = jnp.float32(self.schedG.get_lr(int(state.step)))
+        if getattr(self, "_host_step", None) is None:
+            self._host_step = int(state.step)
+        step = self._host_step
+        self._host_step += 1
+        lr_g = jnp.float32(self.schedG.get_lr(step))
         batch = {"A": jnp.asarray(batch["A"]), "B": jnp.asarray(batch["B"])}
         if self._jit_g is None:
             self._jit_g = jax.jit(self._g_step)
@@ -267,7 +271,7 @@ class CycleGANTrainer:
                 self._jit_d = jax.jit(self._d_step)
         state, logs, fake_a, fake_b = self._jit_g(state, batch, lr_g)
         if self.use_gan:
-            lr_d = jnp.float32(self.schedD.get_lr(int(state.step)))
+            lr_d = jnp.float32(self.schedD.get_lr(step))
             # replay pools (host-side, ref cyclegan_model.py:200-210)
             fa = jnp.asarray(self.fake_a_pool.query(np.asarray(fake_a)))
             fb = jnp.asarray(self.fake_b_pool.query(np.asarray(fake_b)))

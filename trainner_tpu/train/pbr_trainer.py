@@ -111,7 +111,11 @@ class PBRTrainer:
 
     def train_step(self, state: SRTrainState, batch: Dict[str, Any]):
         map_keys = tuple(self._map_keys(batch))
-        lr_g = jnp.float32(self.schedG.get_lr(int(state.step)))
+        if getattr(self, "_host_step", None) is None:
+            self._host_step = int(state.step)
+        step = self._host_step
+        self._host_step += 1
+        lr_g = jnp.float32(self.schedG.get_lr(step))
         if map_keys not in self._jit_cache:
             self._jit_cache[map_keys] = jax.jit(functools.partial(
                 self._train_step, map_keys=map_keys), donate_argnums=(0,))

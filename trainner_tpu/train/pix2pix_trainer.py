@@ -192,8 +192,12 @@ class Pix2PixTrainer:
                              d=new_d), logs
 
     def train_step(self, state: SRTrainState, batch: Dict[str, Any]):
-        lr_g = jnp.float32(self.schedG.get_lr(int(state.step)))
-        lr_d = jnp.float32(self.schedD.get_lr(int(state.step))) \
+        if getattr(self, "_host_step", None) is None:
+            self._host_step = int(state.step)
+        step = self._host_step
+        self._host_step += 1
+        lr_g = jnp.float32(self.schedG.get_lr(step))
+        lr_d = jnp.float32(self.schedD.get_lr(step)) \
             if self.schedD else jnp.float32(0.0)
         if self._jit_step is None:
             if self.mesh is not None:

@@ -136,7 +136,10 @@ class PPONTrainer(SRTrainer):
                              d=new_d), logs
 
     def train_step(self, state: SRTrainState, batch: Dict[str, Any]):
-        step = int(state.step)
+        if getattr(self, "_host_step", None) is None:
+            self._host_step = int(state.step)
+        step = self._host_step
+        self._host_step += 1
         phase = self.current_phase(step)
         lr_g = jnp.float32(self.schedG.get_lr(step))
         lr_d = jnp.float32(self.schedD.get_lr(step)) if self.use_gan \

@@ -458,8 +458,15 @@ class SRTrainer:
     def train_step(self, state: SRTrainState, batch: Dict[str, Any]
                    ) -> Tuple[SRTrainState, Dict[str, jnp.ndarray]]:
         """One optimization step; host-side schedule decisions mirror ref
-        sr_model.optimize_parameters:246-267."""
-        step = int(state.step)
+        sr_model.optimize_parameters:246-267.
+
+        The step counter is mirrored host-side: reading int(state.step)
+        would force a device sync every iteration (costly on high-latency
+        links), so we only sync once to (re)seed the mirror."""
+        if getattr(self, "_host_step", None) is None:
+            self._host_step = int(state.step)
+        step = self._host_step
+        self._host_step += 1
         lr_g = self.schedG.get_lr(step)
         lr_d = self.schedD.get_lr(step) if self.schedD else 0.0
         update_g = (not self.use_gan) or (

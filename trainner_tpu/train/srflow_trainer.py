@@ -98,7 +98,10 @@ class SRFlowTrainer:
                                                opt_state=opt_state)), logs
 
     def train_step(self, state: SRTrainState, batch: Dict[str, Any]):
-        step = int(state.step)
+        if getattr(self, "_host_step", None) is None:
+            self._host_step = int(state.step)
+        step = self._host_step
+        self._host_step += 1
         train_rrdb = step >= self.rrdb_unfreeze_iter
         if train_rrdb not in self._jit_cache:
             self._jit_cache[train_rrdb] = jax.jit(

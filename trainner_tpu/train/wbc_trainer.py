@@ -310,7 +310,11 @@ class WBCTrainer:
     # ------------------------------------------------------------------
     def train_step(self, state: WBCState, batch: Dict[str, Any]
                    ) -> Tuple[WBCState, Dict[str, jnp.ndarray]]:
-        lr_g = jnp.float32(self.schedG.get_lr(int(state.step)))
+        if getattr(self, "_host_step", None) is None:
+            self._host_step = int(state.step)
+        step = self._host_step
+        self._host_step += 1
+        lr_g = jnp.float32(self.schedG.get_lr(step))
         batch = {"A": jnp.asarray(batch["A"]), "B": jnp.asarray(batch["B"])}
         if self._jit_g is None:
             self._jit_g = jax.jit(self._g_step)
@@ -319,7 +323,7 @@ class WBCTrainer:
         state, logs, fake_blur, fake_gray, real_blur, real_gray = \
             self._jit_g(state, batch, lr_g)
         if self.use_gan:
-            lr_d = jnp.float32(self.schedD.get_lr(int(state.step)))
+            lr_d = jnp.float32(self.schedD.get_lr(step))
             fb = jnp.asarray(self.fake_s_pool.query(np.asarray(fake_blur)))
             fg = jnp.asarray(self.fake_t_pool.query(np.asarray(fake_gray)))
             state, dlogs = self._jit_d(state, fb, fg, real_blur, real_gray,
