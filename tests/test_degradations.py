@@ -134,3 +134,28 @@ def test_hr_degrader_keeps_size():
     x = jax.random.uniform(RNG, (2, 32, 32, 3))
     y = deg(RNG, x)
     assert y.shape == x.shape
+
+
+def test_camera_noise_smooth_roundtrip():
+    from trainner_tpu.ops.degradations import camera_noise
+
+    x = jnp.broadcast_to(jnp.linspace(0.2, 0.8, 32)[None, :, None, None],
+                         (1, 32, 32, 3)).transpose(0, 2, 1, 3)
+    y = camera_noise(RNG, x, shot_range=(1e-12, 1e-12),
+                     read_range=(1e-12, 1e-12), gain_range=(1.0, 1.0))
+    # smooth content survives the mosaic/demosaic roundtrip
+    assert float(jnp.abs(y - x).mean()) < 5e-3
+    y2 = camera_noise(RNG, x, shot_range=(1e-2, 1e-2),
+                      read_range=(1e-3, 1e-3))
+    assert float(jnp.abs(y2 - x).mean()) > 1e-3  # noise applied
+
+
+def test_noise_stage_camera_and_superpixels():
+    opt = {"scale": 1, "lr_noise": True,
+           "lr_noise_types": ["camera", "superpixels"],
+           "aug_configs": {"superpixels": {"n_segments": 16}}}
+    deg = BatchDegrader(opt, "lr")
+    x = jax.random.uniform(RNG, (2, 32, 32, 3))
+    y = deg(RNG, x)
+    assert y.shape == x.shape
+    assert float(jnp.abs(y - x).max()) > 1e-3

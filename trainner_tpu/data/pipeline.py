@@ -14,9 +14,11 @@ Per-sample *type* choices are branch-free one-hot mixes; per-sample
 by drawing one order per call from a precompiled set of permutations
 (cached jit specializations, bounded).
 
-Ops with no efficient device form (camera ISP, CLAHE, superpixels, real
-noise patches) run in the host dataset path (data/host pipeline) — the
-device mixture substitutes gaussian noise for them when requested here.
+Camera-ISP noise and SLIC superpixels run ON DEVICE too
+(ops/degradations.camera_noise, ops/superpixel). Ops with no efficient
+device form (CLAHE, real noise patches, SOM quantization) substitute
+gaussian noise in the device mixture; exact variants can run in the host
+dataset path.
 """
 
 from __future__ import annotations
@@ -96,7 +98,8 @@ def get_unpaired_params(opt: dict) -> Tuple[dict, dict]:
 # ---------------------------------------------------------------------------
 
 _DEVICE_NOISE = ("gaussian", "jpeg", "webp", "poisson", "speckle", "s&p",
-                 "sp", "quantize", "dither", "maxrgb")
+                 "sp", "quantize", "dither", "maxrgb", "camera",
+                 "superpixels")
 
 
 def _with_prob(fn: Callable, prob: float) -> Callable:
@@ -192,6 +195,14 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
         if t == "maxrgb":
             return lambda rng, x: jnp.max(
                 x, axis=-1, keepdims=True).repeat(x.shape[-1], -1)
+        if t == "camera":
+            return partial(D.camera_noise)
+        if t == "superpixels":
+            from ..ops.superpixel import superpixel_structure
+
+            n_seg = int(cfg.get("n_segments", 200))
+            return lambda rng, x: superpixel_structure(
+                rng, x, n_segments=n_seg)
         return partial(D.gaussian_noise)
 
     ops = [make_op(t) for t in types]

@@ -451,3 +451,78 @@ def nearest_aligned_downscale(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     """Aligned nearest downsample fixing the 0.5*(s-1) px shift
     (ref augmennt AlignedDownsample:2577): pick the top-left phase pixel."""
     return x[:, ::scale, ::scale, :]
+
+
+# ---------------------------------------------------------------------------
+# camera ISP noise model (ref augmennt camera.py:865-954 RandomCameraNoise:
+# unprocess -> bayer mosaic -> shot/read noise -> demosaic -> process)
+# ---------------------------------------------------------------------------
+
+
+def _mosaic_masks(h: int, w: int):
+    """RGGB bayer masks, (h, w) each."""
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    r = ((yy % 2 == 0) & (xx % 2 == 0)).astype(jnp.float32)
+    g = (((yy % 2 == 0) & (xx % 2 == 1)) |
+         ((yy % 2 == 1) & (xx % 2 == 0))).astype(jnp.float32)
+    b = ((yy % 2 == 1) & (xx % 2 == 1)).astype(jnp.float32)
+    return r, g, b
+
+
+def camera_noise(rng: jax.Array, x: jnp.ndarray,
+                 shot_range: Tuple[float, float] = (1e-4, 1e-2),
+                 read_range: Tuple[float, float] = (1e-4, 1e-2),
+                 gain_range: Tuple[float, float] = (1.2, 2.4)
+                 ) -> jnp.ndarray:
+    """Simplified differentiable camera-ISP noise: inverse gamma ->
+    inverse white balance -> bayer mosaic -> shot+read noise ->
+    bilinear demosaic -> white balance -> gamma. The reference runs the
+    full unprocess/process model with malvar demosaicing on the host
+    (camera.py:865-954); this is the batched on-device counterpart.
+    """
+    b, h, w, c = x.shape
+    r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
+    # unprocess: sRGB -> linear, inverse gains
+    lin = jnp.power(jnp.clip(x, 1e-6, 1.0), 2.2)
+    rg = jax.random.uniform(r1, (b, 1, 1), minval=gain_range[0],
+                            maxval=gain_range[1])
+    bg = jax.random.uniform(r2, (b, 1, 1), minval=gain_range[0],
+                            maxval=gain_range[1])
+    lin = jnp.stack([lin[..., 0] / rg, lin[..., 1],
+                     lin[..., 2] / bg], axis=-1)
+
+    # mosaic to a single bayer plane
+    mr, mg, mb = _mosaic_masks(h, w)
+    bayer = lin[..., 0] * mr + lin[..., 1] * mg + lin[..., 2] * mb
+
+    # shot (signal-dependent) + read noise (ref camera.py:911)
+    shot = jax.random.uniform(r3, (b, 1, 1), minval=shot_range[0],
+                              maxval=shot_range[1])
+    read = jax.random.uniform(r4, (b, 1, 1), minval=read_range[0],
+                              maxval=read_range[1])
+    var = jnp.clip(bayer, 0.0, 1.0) * shot + read
+    bayer = bayer + jnp.sqrt(var) * jax.random.normal(r5, bayer.shape)
+
+    # bilinear demosaic: normalized blur of masked channels
+    def demosaic(chan_masked, mask):
+        kern = jnp.asarray([[0.25, 0.5, 0.25], [0.5, 1.0, 0.5],
+                            [0.25, 0.5, 0.25]], jnp.float32)
+        def blur(v):
+            vp = jnp.pad(v, [(0, 0), (1, 1), (1, 1)], mode="reflect")
+            out = jnp.zeros_like(v)
+            for dy in range(3):
+                for dx in range(3):
+                    out = out + kern[dy, dx] * vp[:, dy:dy + v.shape[1],
+                                                  dx:dx + v.shape[2]]
+            return out
+        num = blur(chan_masked)
+        den = blur(jnp.broadcast_to(mask[None], chan_masked.shape))
+        return num / jnp.maximum(den, 1e-6)
+
+    red = demosaic(bayer * mr, mr)
+    green = demosaic(bayer * mg, mg)
+    blue = demosaic(bayer * mb, mb)
+    lin_out = jnp.stack([red * rg, green, blue * bg], axis=-1)
+    return jnp.clip(jnp.power(jnp.clip(lin_out, 1e-6, 1.0), 1 / 2.2),
+                    0.0, 1.0).astype(x.dtype)
