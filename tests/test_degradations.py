@@ -159,3 +159,59 @@ def test_noise_stage_camera_and_superpixels():
     y = deg(RNG, x)
     assert y.shape == x.shape
     assert float(jnp.abs(y - x).max()) > 1e-3
+
+
+def test_kernel_pool_and_noise_patches(tmp_path):
+    import cv2
+
+    from trainner_tpu.data.kernels import (apply_kernel_pool,
+                                           apply_noise_patches,
+                                           load_kernel_pool,
+                                           load_noise_patches)
+
+    # kernel pool from .npy files
+    kd = tmp_path / "kernels"
+    kd.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        k = rng.random((13, 13))
+        np.save(str(kd / f"k{i}.npy"), k / k.sum())
+    bank = load_kernel_pool(str(kd), kernel_size=21)
+    assert bank.shape == (3, 21, 21)
+    assert np.allclose(bank.sum(axis=(1, 2)), 1.0, atol=1e-5)
+
+    x = jax.random.uniform(RNG, (2, 32, 32, 3))
+    y = apply_kernel_pool(RNG, x, bank, scale=2)
+    assert y.shape == (2, 16, 16, 3)
+
+    # noise patches from images
+    nd = tmp_path / "noise"
+    nd.mkdir()
+    for i in range(2):
+        img = rng.integers(100, 156, (64, 64, 3), np.uint8)
+        cv2.imwrite(str(nd / f"n{i}.png"), img)
+    patches = load_noise_patches(str(nd), patch_size=16, n_patches=8)
+    assert patches.shape[1:] == (16, 16, 3)
+    assert abs(patches.mean()) < 1e-3  # zero-mean
+    z = apply_noise_patches(RNG, x, patches)
+    assert z.shape == x.shape
+    assert float(jnp.abs(z - x).max()) > 1e-4
+
+
+def test_pipeline_realistic_kernel_999(tmp_path):
+    from trainner_tpu.data.pipeline import BatchDegrader
+
+    kd = tmp_path / "kernels"
+    kd.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        k = rng.random((13, 13))
+        np.save(str(kd / f"k{i}.npy"), k / k.sum())
+    opt = {"scale": 2, "lr_downscale": True,
+           "lr_downscale_types": [999, 2],
+           "dataroot_kernels": str(kd)}
+    deg = BatchDegrader(opt, "lr")
+    assert deg.kernel_bank is not None
+    x = jax.random.uniform(RNG, (2, 32, 32, 3))
+    y = deg(RNG, x)
+    assert y.shape == (2, 16, 16, 3)

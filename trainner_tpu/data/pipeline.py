@@ -272,6 +272,23 @@ class BatchDegrader:
         cfgs = dataset_opt.get("aug_configs") or {}
         self.shuffle = bool(self.params.get("random_shuffle"))
 
+        # realistic assets: KernelGAN kernel pool (resize code 999) and
+        # real noise patches ('patches' noise type) — loaded once into
+        # device-resident banks (data/kernels.py)
+        from .kernels import load_kernel_pool, load_noise_patches
+
+        self.kernel_bank = load_kernel_pool(
+            dataset_opt.get("dataroot_kernels") or "") \
+            if dataset_opt.get("dataroot_kernels") else None
+        noise_types = (self.params.get("noise") or {}).get("types") or []
+        self.patch_bank = None
+        if any(str(t).lower() == "patches" for t in noise_types) and \
+                dataset_opt.get("noise_data"):
+            lr_size = int(dataset_opt.get("crop_size", 128) or 128) // \
+                max(self.scale, 1)
+            self.patch_bank = load_noise_patches(
+                dataset_opt["noise_data"], patch_size=max(lr_size, 16))
+
         p = self.params
         stages: List[Tuple[str, Callable]] = []
         for name in self.ORDER:
@@ -284,8 +301,18 @@ class BatchDegrader:
             elif name in ("noise", "noise2", "compression"):
                 types = conf["types"] or (["jpeg"]
                                           if name == "compression" else [])
-                stages.append((name, _noise_stage(types, cfgs,
-                                                  conf["prob"])))
+                if any(str(t).lower() == "patches" for t in types) and \
+                        self.patch_bank is not None:
+                    from .kernels import apply_noise_patches
+
+                    bank = self.patch_bank
+                    stages.append((name, _with_prob(
+                        lambda rng, x, bank=bank:
+                        apply_noise_patches(rng, x, bank),
+                        conf["prob"])))
+                else:
+                    stages.append((name, _noise_stage(types, cfgs,
+                                                      conf["prob"])))
             elif name in ("resize", "resize2"):
                 if kind != "lr":
                     continue
@@ -295,8 +322,17 @@ class BatchDegrader:
                               (shape[1] // s, shape[2] // s))
                 else:
                     out_fn = lambda shape: (shape[1], shape[2])
-                stages.append((name, _resize_stage(conf["types"], out_fn,
-                                                   conf["prob"])))
+                if name == "resize" and self.kernel_bank is not None and \
+                        any(t == 999 for t in conf["types"]):
+                    from .kernels import apply_kernel_pool
+
+                    bank = self.kernel_bank
+                    sc = self.scale
+                    stages.append((name, lambda rng, x, bank=bank, sc=sc:
+                                   apply_kernel_pool(rng, x, bank, sc)))
+                else:
+                    stages.append((name, _resize_stage(
+                        conf["types"], out_fn, conf["prob"])))
             elif name == "auto_levels":
                 prob = conf["prob"]
                 stages.append((name, _with_prob(
