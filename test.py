@@ -57,8 +57,12 @@ def main(argv=None):
     state = None
     scale = int(opt.get("scale") or 1)
     znorm = False
+    model = (opt.get("model") or "sr").lower()
     ensemble_x8 = bool(opt.get("self_ensemble") or opt.get("x8"))
     chop = opt.get("chop_forward") or opt.get("chop")
+    # SRFlow sampling controls (ref test_srflow.py:23)
+    heats = (opt.get("val") or {}).get("heats") or [0.0]
+    n_sample = int((opt.get("val") or {}).get("n_sample", 1) or 1)
 
     for name, loader in test_loaders:
         logger.info(f"Testing [{name}]...")
@@ -68,7 +72,8 @@ def main(argv=None):
         metrics_y = MetricsDict(opt.get("metrics") or "psnr,ssim")
         n_img = 0
         for i, batch in enumerate(loader):
-            lr = jnp.asarray(batch["LR"])
+            in_key = "in" if model == "dvd" else "LR"
+            lr = jnp.asarray(batch[in_key])
             if state is None:
                 state = trainer.init_state(jax.random.PRNGKey(0), lr.shape)
                 g_path = opt["path"].get("pretrain_model_G")
@@ -79,7 +84,23 @@ def main(argv=None):
                 else:
                     logger.warning("No pretrain_model_G given — running "
                                    "random-init weights.")
-            if ensemble_x8:
+            if model == "srflow":
+                # heats x n_sample latent draws (ref test_srflow.py)
+                for heat in heats:
+                    for k in range(n_sample):
+                        s = trainer.eval_step(state, lr, heat=heat)
+                        img = tensor2img(np.asarray(s)[0], znorm)
+                        img_name0 = os.path.splitext(os.path.basename(
+                            batch.get("LR_path", [str(i)])[0]))[0]
+                        save_img(img, os.path.join(
+                            res_dir, f"{img_name0}_h{heat:.2f}_{k}.png"))
+                sr = trainer.eval_step(state, lr, heat=heats[0])
+            elif model == "dvd":
+                top, bottom = trainer.eval_step_both(state, lr)
+                sr = top
+                save_img(tensor2img(np.asarray(bottom)[0], znorm),
+                         os.path.join(res_dir, f"{i}_bottom.png"))
+            elif ensemble_x8:
                 sr = trainer.eval_step_x8(state, lr)
             elif chop:
                 sr = trainer.eval_step_chop(state, lr)

@@ -113,3 +113,86 @@ def load_vgg_npz(path: str) -> dict:
         layer, leaf = key.split("/")
         params.setdefault(layer, {})[leaf] = data[key]
     return {"params": params}
+
+
+class ResNet101Features(nn.Module):
+    """ResNet-101 conv1-3 feature extractor (ref perceptual.py:220
+    ResNet101FeatureExtractor: children[:8] = stem + 3 bottleneck stages,
+    with optional input normalization)."""
+
+    use_input_norm: bool = True
+    z_norm: bool = False
+    dtype: Any = jnp.float32
+
+    def _bottleneck(self, x, mid, out, stride, name, train):
+        import flax.linen as fnn
+
+        def bn(v):
+            return fnn.BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype,
+                                 param_dtype=jnp.float32)(v)
+
+        h = fnn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                     name=f"{name}_c1")(x)
+        h = fnn.relu(bn(h))
+        h = fnn.Conv(mid, (3, 3), strides=(stride, stride), padding=1,
+                     use_bias=False, dtype=self.dtype,
+                     name=f"{name}_c2")(h)
+        h = fnn.relu(bn(h))
+        h = fnn.Conv(out, (1, 1), use_bias=False, dtype=self.dtype,
+                     name=f"{name}_c3")(h)
+        h = bn(h)
+        if x.shape[-1] != out or stride != 1:
+            x = fnn.Conv(out, (1, 1), strides=(stride, stride),
+                         use_bias=False, dtype=self.dtype,
+                         name=f"{name}_proj")(x)
+            x = bn(x)
+        return fnn.relu(x + h)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import flax.linen as fnn
+
+        if self.z_norm:
+            x = (x + 1.0) / 2.0
+        if self.use_input_norm:
+            x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        x = x.astype(self.dtype)
+        x = fnn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                     use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = fnn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="bn1")(x)
+        x = fnn.relu(x)
+        x = fnn.max_pool(x, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)))
+        plan = [(64, 256, 3, 1), (128, 512, 4, 2), (256, 1024, 23, 2)]
+        for si, (mid, out, reps, stride) in enumerate(plan, start=1):
+            for r in range(reps):
+                x = self._bottleneck(x, mid, out,
+                                     stride if r == 0 else 1,
+                                     f"layer{si}_{r}", train)
+        return x
+
+
+class MINCFeatures(nn.Module):
+    """MINC-VGG16 material-perception features (ref perceptual.py:249
+    MINCNet: VGG16 conv stack up to conv5_3, no input norm)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import flax.linen as fnn
+
+        x = x.astype(self.dtype)
+        plan = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+        for b, (f, n) in enumerate(plan, start=1):
+            for c in range(1, n + 1):
+                x = fnn.Conv(f, (3, 3), padding=1, dtype=self.dtype,
+                             name=f"conv{b}{c}" if b <= 2 else
+                             f"conv{b}_{c}")(x)
+                if not (b == 5 and c == 3):
+                    x = fnn.relu(x)
+            if b < 5:
+                x = fnn.max_pool(x, (2, 2), strides=(2, 2))
+        return x
