@@ -131,3 +131,25 @@ def test_create_dataset_video_modes(video_root):
                          "dataroot_HR": os.path.join(video_root, "vid0"),
                          "scale": 4, "num_frames": 3})
     assert type(ds).__name__ == "VidTestDataset"
+
+
+def test_concat_dataset_and_weighted_loader():
+    from trainner_tpu.data.datasets import SyntheticDataset
+    from trainner_tpu.data.loader import (ConcatDataset, WeightedMultiLoader,
+                                          create_dataloader)
+
+    a = SyntheticDataset({"n_samples": 4, "crop_size": 16, "scale": 2})
+    b = SyntheticDataset({"n_samples": 8, "crop_size": 16, "scale": 2})
+    cat = ConcatDataset([a, b])
+    assert len(cat) == 12
+    assert cat[0]["HR"].shape == cat[11]["HR"].shape
+
+    ld = create_dataloader([a, b], {"phase": "train", "batch_size": 2,
+                                    "sampler_weights": [4, 1],
+                                    "n_workers": 0})
+    assert isinstance(ld, WeightedMultiLoader)
+    batches = list(ld)
+    assert batches
+    assert all(b_["HR"].shape[0] == 2 for b_ in batches)
+    # each batch comes wholly from one dataset (has dataset_index)
+    assert all("dataset_index" in b_ for b_ in batches)

@@ -159,8 +159,20 @@ def device_prefetch(iterator: Iterator, size: int = 2,
 def create_dataloader(dataset, dataset_opt: dict,
                       mesh=None) -> DataLoader:
     """Loader factory (ref data/__init__.py:8): train loaders shuffle and
-    drop_last; val/test loaders are sequential batch-1."""
+    drop_last; val/test loaders are sequential batch-1. A list of datasets
+    with `sampler_weights` uses the per-dataset weighted batch sampler
+    (ref concat_ modes + MultiSampler)."""
     phase = dataset_opt.get("phase", "train")
+    if isinstance(dataset, (list, tuple)):
+        weights = dataset_opt.get("sampler_weights") or \
+            [1.0] * len(dataset)
+        if phase == "train":
+            return WeightedMultiLoader(
+                dataset, weights,
+                batch_size=int(dataset_opt.get("batch_size", 16) or 16),
+                seed=int(dataset_opt.get("seed", 0) or 0),
+                num_workers=int(dataset_opt.get("n_workers", 2) or 2))
+        dataset = ConcatDataset(dataset)
     if phase == "train":
         return DataLoader(
             dataset,
@@ -171,3 +183,26 @@ def create_dataloader(dataset, dataset_opt: dict,
             seed=int(dataset_opt.get("seed", 0) or 0))
     return DataLoader(dataset, batch_size=1, shuffle=False,
                       drop_last=False, num_workers=1)
+
+
+class ConcatDataset:
+    """Concatenation of datasets (the torch ConcatDataset equivalent used
+    by ref data/__init__.py concat_datasets:87)."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self.cumulative_sizes = []
+        total = 0
+        for d in self.datasets:
+            total += len(d)
+            self.cumulative_sizes.append(total)
+
+    def __len__(self):
+        return self.cumulative_sizes[-1] if self.cumulative_sizes else 0
+
+    def __getitem__(self, idx):
+        for k, cum in enumerate(self.cumulative_sizes):
+            if idx < cum:
+                prev = self.cumulative_sizes[k - 1] if k else 0
+                return self.datasets[k][idx - prev]
+        raise IndexError(idx)
