@@ -327,7 +327,20 @@ def main(argv=None):
 
     import jax
 
-    trainer = create_trainer(opt)
+    # device mesh (the nn.DataParallel replacement — SURVEY.md §2.9):
+    # default: all local devices on the 'data' axis; optional fsdp axis
+    # via `parallel: {data: N, fsdp: M}` in the options file.
+    mesh = None
+    par = opt.get("parallel") or {}
+    if len(jax.devices()) > 1 or par:
+        from trainner_tpu.parallel.mesh import MeshConfig, make_mesh
+
+        mesh = make_mesh(MeshConfig(data=int(par.get("data", -1) or -1),
+                                    fsdp=int(par.get("fsdp", 1) or 1)))
+        logger.info(f"Device mesh: {dict(mesh.shape)} over "
+                    f"{len(jax.devices())} devices")
+
+    trainer = create_trainer(opt, mesh=mesh)
 
     # infer shapes from one batch to init state
     first = next(iter(loaders["train"]))
