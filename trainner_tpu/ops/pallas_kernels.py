@@ -26,13 +26,20 @@ from jax.experimental.pallas import tpu as pltpu
 def _blur_kernel_body(img_ref, kern_ref, out_ref, *, k: int, h: int,
                       w: int):
     """img_ref: (h+k-1, w+k-1, c) padded sample; kern_ref: (k, k);
-    out_ref: (h, w, c)."""
+    out_ref: (h, w, c).
+
+    Taps accumulate in a fori_loop with pl.ds dynamic slices (an unrolled
+    k*k tap loop would blow up Mosaic compile time for k=21)."""
     kern = kern_ref[...]
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for dy in range(k):
-        for dx in range(k):
-            tap = img_ref[dy:dy + h, dx:dx + w, :].astype(jnp.float32)
-            acc = acc + tap * kern[dy, dx]
+
+    def body(t, acc):
+        dy = t // k
+        dx = t % k
+        tap = img_ref[pl.ds(dy, h), pl.ds(dx, w), :].astype(jnp.float32)
+        return acc + tap * kern[dy, dx]
+
+    acc = jax.lax.fori_loop(0, k * k, body,
+                            jnp.zeros(out_ref.shape, jnp.float32))
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
