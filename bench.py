@@ -48,11 +48,11 @@ def bench_train(n_warmup: int = 3, n_iters: int = 20) -> dict:
     }
     for _ in range(n_warmup):
         state, logs = trainer.train_step(state, batch)
-    jax.block_until_ready(state.g.params)
+    float(logs["l_g_total"])  # host read = true sync (remote runtimes)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, logs = trainer.train_step(state, batch)
-    jax.block_until_ready(state.g.params)
+    float(logs["l_g_total"])
     dt = time.perf_counter() - t0
     return {"train_iters_per_sec": n_iters / dt,
             "train_batch": batch_size, "train_hr_px": lr_px * 4}
@@ -76,13 +76,23 @@ def bench_infer(n_warmup: int = 2, n_iters: int = 10) -> dict:
     def fwd(params, img):
         return model.apply({"params": params}, img, train=False)
 
-    for _ in range(n_warmup):
-        y = fwd(variables["params"], x)
-    jax.block_until_ready(y)
+    @jax.jit
+    def chained(params, img, n):
+        # data-dependent iterations: async dispatch through remote
+        # runtimes can otherwise overlap/elide independent calls and
+        # fake the timing
+        def body(i, im):
+            y = fwd(params, im)
+            feedback = jnp.mean(y) * 1e-8
+            return im + feedback.astype(im.dtype)
+
+        return jax.lax.fori_loop(0, n, body, img)
+
+    y = chained(variables["params"], x, n_warmup)
+    float(jnp.sum(y))  # host read = true sync
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        y = fwd(variables["params"], x)
-    jax.block_until_ready(y)
+    y = chained(variables["params"], x, n_iters)
+    float(jnp.sum(y))
     dt = time.perf_counter() - t0
     out_mpx = b * (h * 4) * (w * 4) / 1e6
     return {"infer_mpx_per_sec": out_mpx * n_iters / dt}
