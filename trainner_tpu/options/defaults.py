@@ -29,6 +29,7 @@ _G_ALIASES = {
     "abpn_net": "abpn_net", "abpn": "abpn_net",
     "srflow_net": "srflow_net", "srflow": "srflow_net",
     "wbcunet": "wbcunet_net", "wbcunet_tf": "wbcunet_net",
+    "wbcunet_net": "wbcunet_net",
     "unet_net": "unet_net", "unet_128": "unet_net", "unet_256": "unet_net",
     "resnet_net": "resnet_net", "resnet_6blocks": "resnet_net",
     "resnet_9blocks": "resnet_net",
@@ -37,6 +38,7 @@ _G_ALIASES = {
     "edvr_net": "edvr_net", "edvr": "edvr_net",
     "rife_net": "rife_net", "rife": "rife_net",
     "dvd_net": "dvd_net",
+    "seg_arch": "seg_arch", "seg": "seg_arch",
 }
 
 # per-canonical-type defaults; SCALE is substituted with the global scale,
@@ -44,6 +46,7 @@ _G_ALIASES = {
 _SCALE = "__scale__"
 
 _G_DEFAULTS: dict[str, dict[str, Any]] = {
+    "seg_arch": dict(n_classes=8),
     "rrdb_net": dict(
         norm_type=None, mode="CNA", nf=64, nb=23, nr=3, in_nc=3, out_nc=3,
         gc=32, convtype="Conv2D", act_type="leakyrelu", gaussian_noise=True,
@@ -198,10 +201,13 @@ def get_network_G_config(network_G, scale: int, crop_size=None) -> dict:
     if canon == "srflow_net":
         cfg["upscale"] = cfg["scale"]
     if canon == "unet_net" and crop_size:
-        expected = {7: 128, 8: 256, 9: 512}.get(cfg["num_downs"])
-        if expected and crop_size != expected:
-            raise ValueError(
-                f"Invalid crop size {crop_size} for UNET config, must be {expected}")
+        # derive num_downs from the crop size (ref defaults.py picks
+        # unet_128/unet_256 by crop); only reject non-power-of-2 crops
+        downs = {64: 6, 128: 7, 256: 8, 512: 9}.get(int(crop_size))
+        if downs:
+            cfg.setdefault("num_downs", downs)
+            if cfg["num_downs"] != downs and "num_downs" not in user:
+                cfg["num_downs"] = downs
     return cfg
 
 
