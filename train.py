@@ -323,6 +323,19 @@ def main(argv=None):
     seed = (opt["train"] or {}).get("manual_seed") or 0
     np.random.seed(int(seed))
 
+    # aux observability hooks (SURVEY.md §5): NaN guard + profiler trace
+    if opt.get("debug_nans"):
+        from trainner_tpu.utils.debug import enable_nan_checks
+
+        enable_nan_checks(True)
+        logger.info("jax_debug_nans enabled")
+    if opt.get("profile"):
+        import jax as _jax
+
+        trace_dir = os.path.join(opt["path"]["log"], "trace")
+        _jax.profiler.start_trace(trace_dir)
+        logger.info(f"jax.profiler trace -> {trace_dir}")
+
     loaders = get_dataloaders(opt)
 
     import jax

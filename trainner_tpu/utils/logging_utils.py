@@ -110,3 +110,30 @@ class ScalarWriter:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class ProgressBar:
+    """Minimal console progress bar (ref utils/progress_bar.py)."""
+
+    def __init__(self, total: int, width: int = 40, stream=None):
+        import sys as _sys
+
+        self.total = max(total, 1)
+        self.width = width
+        self.count = 0
+        self.start = time.time()
+        self.stream = stream or _sys.stdout
+
+    def update(self, msg: str = "") -> None:
+        self.count += 1
+        frac = self.count / self.total
+        filled = int(self.width * frac)
+        bar = "#" * filled + "-" * (self.width - filled)
+        elapsed = time.time() - self.start
+        eta = elapsed / max(frac, 1e-9) * (1 - frac)
+        self.stream.write(
+            f"\r[{bar}] {self.count}/{self.total} "
+            f"({elapsed:.0f}s, eta {eta:.0f}s) {msg}")
+        if self.count >= self.total:
+            self.stream.write("\n")
+        self.stream.flush()
