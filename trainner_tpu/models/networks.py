@@ -36,7 +36,9 @@ def _build_rrdb(cfg: dict, dtype) -> RRDBNet:
         upsample_mode=cfg.get("upsample_mode", "upconv"),
         final_act=cfg.get("finalact"),
         gaussian_noise=bool(cfg.get("gaussian_noise", True)),
-        plus=bool(cfg.get("plus", False)), dtype=dtype)
+        plus=bool(cfg.get("plus", False)),
+        conv3d=str(cfg.get("convtype", "")).lower() == "conv3d",
+        dtype=dtype)
 
 
 def _build_mrrdb(cfg: dict, dtype) -> MRRDBNet:

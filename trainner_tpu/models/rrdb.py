@@ -46,6 +46,7 @@ class ResidualDenseBlock5C(nn.Module):
     plus: bool = False
     gaussian_noise: bool = False
     spectral_norm: bool = False
+    conv_dims: int = 2  # 3 = Conv3D trunk (EVSRGAN, ref convtype Conv3D)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -54,11 +55,12 @@ class ResidualDenseBlock5C(nn.Module):
             ConvBlock, kernel_size=self.kernel_size, norm_type=self.norm_type,
             act_type=self.act_type, mode=self.mode,
             spectral_norm=self.spectral_norm, kernel_init=kaiming_init(0.1),
-            dtype=self.dtype)
+            conv_dims=self.conv_dims, dtype=self.dtype)
         x1 = cb(self.gc, name="conv1")(x, train)
         x2 = cb(self.gc, name="conv2")(_cat([x, x1]), train)
         if self.plus:
-            x2 = x2 + nn.Conv(self.gc, (1, 1), use_bias=False,
+            x2 = x2 + nn.Conv(self.gc, (1,) * self.conv_dims,
+                              use_bias=False,
                               kernel_init=kaiming_init(0.1), dtype=self.dtype,
                               name="conv1x1")(x)
         x3 = cb(self.gc, name="conv3")(_cat([x, x1, x2]), train)
@@ -88,6 +90,7 @@ class RRDB(nn.Module):
     plus: bool = False
     gaussian_noise: bool = False
     spectral_norm: bool = False
+    conv_dims: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -97,7 +100,8 @@ class RRDB(nn.Module):
             out = ResidualDenseBlock5C(
                 self.nf, self.gc, self.kernel_size, self.act_type,
                 self.norm_type, self.mode, self.plus, self.gaussian_noise,
-                self.spectral_norm, self.dtype, name=f"RDB{i + 1}")(out, train)
+                self.spectral_norm, self.conv_dims, self.dtype,
+                name=f"RDB{i + 1}")(out, train)
         return out * 0.2 + x
 
 
@@ -122,24 +126,32 @@ class RRDBNet(nn.Module):
     final_act: Optional[str] = None
     gaussian_noise: bool = True
     plus: bool = False
+    conv3d: bool = False  # EVSRGAN: Conv3D trunk over (b, t, h, w, c)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True, outm: Optional[str] = None):
         x = x.astype(self.dtype)
+        dims = 3 if self.conv3d else 2
         fea = ConvBlock(self.nf, 3, act_type=None, norm_type=None,
-                        kernel_init=kaiming_init(0.1), dtype=self.dtype,
+                        kernel_init=kaiming_init(0.1), conv_dims=dims,
+                        dtype=self.dtype,
                         name="fea_conv")(x, train)
         trunk = fea
         for i in range(self.nb):
             trunk = RRDB(self.nf, self.nr, self.gc, 3, self.act_type,
                          self.norm_type, self.mode, self.plus,
-                         self.gaussian_noise, dtype=self.dtype,
+                         self.gaussian_noise, conv_dims=dims,
+                         dtype=self.dtype,
                          name=f"RRDB{i}")(trunk, train)
         trunk = ConvBlock(self.nf, 3, norm_type=self.norm_type, act_type=None,
                           mode=self.mode, kernel_init=kaiming_init(0.1),
-                          dtype=self.dtype, name="LR_conv")(trunk, train)
+                          conv_dims=dims, dtype=self.dtype,
+                          name="LR_conv")(trunk, train)
         fea = fea + trunk
+        if self.conv3d:
+            # collapse the frame axis (center frame) before 2D upsampling
+            fea = fea[:, fea.shape[1] // 2]
 
         up_block = UpconvBlock if self.upsample_mode == "upconv" else \
             PixelShuffleBlock
