@@ -215,3 +215,41 @@ def test_pipeline_realistic_kernel_999(tmp_path):
     x = jax.random.uniform(RNG, (2, 32, 32, 3))
     y = deg(RNG, x)
     assert y.shape == (2, 16, 16, 3)
+
+
+def test_device_jpeg_tracks_real_jpeg():
+    """DCT-approx JPEG should track real libjpeg closely in PSNR terms
+    across qualities (statistical parity gate, SURVEY.md §7.3 item 1)."""
+    from trainner_tpu.data.host_degradations import jpeg_compress_exact
+    from trainner_tpu.utils.metrics import calculate_psnr
+
+    rng = np.random.default_rng(0)
+    base = rng.random((64, 64, 3)).astype(np.float32)
+    # smooth the test image a bit (pure noise is JPEG-hostile)
+    from trainner_tpu.ops.degradations import apply_kernels, \
+        gaussian_kernels
+
+    sm = np.asarray(apply_kernels(
+        jnp.asarray(base[None]), gaussian_kernels(RNG, 1, 9, (1.0, 1.0))
+    ))[0]
+    for q in (30, 60, 90):
+        ours = np.asarray(D.jpeg_compress(
+            RNG, jnp.asarray(sm[None]), quality=jnp.array([float(q)])))[0]
+        real = jpeg_compress_exact(sm, q)
+        p_ours = calculate_psnr(ours * 255, sm * 255)
+        p_real = calculate_psnr(real * 255, sm * 255)
+        # same degradation severity within a few dB
+        assert abs(p_ours - p_real) < 6.0, (q, p_ours, p_real)
+
+
+def test_host_exact_ops_run():
+    from trainner_tpu.data import host_degradations as H
+
+    rng = np.random.default_rng(1)
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    assert H.jpeg_compress_exact(img, 50).shape == img.shape
+    assert H.webp_compress_exact(img, 50).shape == img.shape
+    assert H.gaussian_blur_exact(img, 5, 1.0).shape == img.shape
+    assert H.motion_blur_exact(img, 7, 30.0).shape == img.shape
+    assert H.gaussian_noise_exact(img, 10.0).shape == img.shape
+    assert H.clahe_exact(img).shape == img.shape
