@@ -153,3 +153,27 @@ def test_concat_dataset_and_weighted_loader():
     assert all(b_["HR"].shape[0] == 2 for b_ in batches)
     # each batch comes wholly from one dataset (has dataset_index)
     assert all("dataset_index" in b_ for b_ in batches)
+
+
+def test_seg_dataset(video_root, tmp_path):
+    from trainner_tpu.data.seg_dataset import SegDataset
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    # one .npy prob map matching an HR stem
+    rng = np.random.default_rng(0)
+    probs = rng.random((48, 64, 8)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    np.save(str(seg_dir / "000.npy"), probs)
+
+    ds = SegDataset({"dataroot_HR": os.path.join(video_root, "vid0"),
+                     "dataroot_seg": str(seg_dir), "scale": 4,
+                     "crop_size": 32, "phase": "train"})
+    s = ds[0]
+    assert s["HR"].shape == (32, 32, 3)
+    assert s["LR"].shape == (8, 8, 3)
+    assert s["seg"].shape == (32, 32, 8)
+    assert 0 <= int(s["category"]) < 8
+    # missing seg file -> uniform fallback
+    s2 = ds[1]
+    assert np.allclose(s2["seg"], 1.0 / 8)

@@ -216,6 +216,10 @@ def _lazy(name):
             from .pbr_dataset import PBRDataset
 
             return PBRDataset(dataset_opt)
+        if name == "seg":
+            from .seg_dataset import SegDataset
+
+            return SegDataset(dataset_opt)
         raise KeyError(name)
 
     return build
@@ -230,6 +234,7 @@ _DATASETS = {
     "vid_test": _lazy("vid_test"),
     "dvd": _lazy("dvd"),
     "pbr": _lazy("pbr"),
+    "seg": _lazy("seg"),
 }
 
 
@@ -246,7 +251,8 @@ def create_dataset(dataset_opt: dict):
                "video": "vid_train" if phase == "train" else "vid_test",
                "vlrhr": "vid_train" if phase == "train" else "vid_test",
                "dvd": "dvd", "dvdi": "dvd",
-               "lrhrpbr": "pbr", "pbr": "pbr"}
+               "lrhrpbr": "pbr", "pbr": "pbr",
+               "lrhrseg_bg": "seg", "seg": "seg"}
     key = aliases.get(mode, mode)
     if key not in _DATASETS:
         raise NotImplementedError(f"dataset mode [{mode}] not recognized")

@@ -139,11 +139,13 @@ def _build_dvd(cfg: dict, dtype):
 def _build_srflow(cfg: dict, dtype):
     from .srflow import SRFlowNet
 
+    flow = cfg.get("flow") or {}
     return SRFlowNet(in_nc=cfg.get("in_nc", 3), out_nc=cfg.get("out_nc", 3),
                      nf=cfg.get("nf", 64), nb=cfg.get("nb", 23),
                      gc=cfg.get("gc", 32), scale=cfg.get("scale", 4),
-                     K=cfg.get("K", 16), L=(cfg.get("flow") or {}).get("L", 3),
-                     flow_cfg=cfg.get("flow"), dtype=dtype)
+                     K=cfg.get("K", 16), L=flow.get("L", 3),
+                     hidden_channels=flow.get("hidden_channels", 64),
+                     flow_cfg=flow, dtype=dtype)
 
 
 def _build_edvr(cfg: dict, dtype):
