@@ -1,0 +1,111 @@
+"""End-to-end train-CLI integration smokes for every model family
+(the reference's `debug_` run mode, SURVEY.md §4.2), on synthetic data."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+import yaml
+
+import train as train_cli
+
+ROOT = "/tmp/trainner_tpu_cli_tests"
+
+
+def _run(opt_dict, name):
+    os.makedirs(ROOT, exist_ok=True)
+    opt_dict = dict(opt_dict)
+    opt_dict["name"] = f"debug_{name}"
+    opt_dict.setdefault("path", {})["root"] = ROOT
+    shutil.rmtree(os.path.join(ROOT, "experiments", f"debug_{name}"),
+                  ignore_errors=True)
+    p = os.path.join(ROOT, f"{name}.yml")
+    with open(p, "w") as f:
+        yaml.safe_dump(opt_dict, f)
+    train_cli.main(["-opt", p])
+    exp = os.path.join(ROOT, "experiments", f"debug_{name}")
+    assert os.path.isdir(os.path.join(exp, "models"))
+    models = os.listdir(os.path.join(exp, "models"))
+    assert any(m.endswith(".ckpt") for m in models), models
+    return exp
+
+
+def test_cli_vsr():
+    _run({"model": "vsr", "scale": 2, "use_amp": False,
+          "datasets": {"train": {"mode": "synthetic", "kind": "video",
+                                 "crop_size": 16, "num_frames": 3,
+                                 "n_samples": 4, "batch_size": 2,
+                                 "n_workers": 0}},
+          "network_G": {"type": "sr3d_net", "nf": 4, "n_frames": 3,
+                        "scale": 2},
+          "train": {"lr_G": 1e-4, "niter": 4, "pixel_criterion": "l1",
+                    "pixel_weight": 1.0, "lr_scheme": "MultiStepLR",
+                    "lr_steps": [100]},
+          "logger": {"print_freq": 2, "save_checkpoint_freq": 4,
+                     "tensorboard": False}}, "vsr")
+
+
+def test_cli_dvd():
+    _run({"model": "dvd", "scale": 1, "use_amp": False,
+          "datasets": {"train": {"mode": "synthetic", "kind": "dvd",
+                                 "crop_size": 16, "n_samples": 4,
+                                 "batch_size": 2, "n_workers": 0}},
+          "network_G": {"type": "dvd_net", "nf": 8},
+          "train": {"lr_G": 1e-4, "niter": 4, "pixel_criterion": "l1",
+                    "pixel_weight": 1.0, "lr_scheme": "MultiStepLR",
+                    "lr_steps": [100]},
+          "logger": {"print_freq": 2, "save_checkpoint_freq": 4,
+                     "tensorboard": False}}, "dvd")
+
+
+def test_cli_pix2pix():
+    _run({"model": "pix2pix", "scale": 1, "use_amp": False,
+          "datasets": {"train": {"mode": "synthetic", "kind": "ab",
+                                 "crop_size": 32, "n_samples": 4,
+                                 "batch_size": 2, "n_workers": 0}},
+          "network_G": {"type": "unet_net", "num_downs": 5, "ngf": 8,
+                        "strict": True},
+          "network_D": {"type": "patchgan", "ndf": 8, "n_layers": 1},
+          "train": {"lr_G": 2e-4, "lr_D": 2e-4, "gan_type": "vanilla",
+                    "gan_weight": 1.0, "pixel_criterion": "l1",
+                    "pixel_weight": 100.0, "niter": 4,
+                    "lr_scheme": "MultiStepLR", "lr_steps": [100]},
+          "logger": {"print_freq": 2, "save_checkpoint_freq": 4,
+                     "tensorboard": False}}, "pix2pix")
+
+
+def test_cli_cyclegan():
+    exp = _run({"model": "cyclegan", "scale": 1, "use_amp": False,
+                "pool_size": 4,
+                "datasets": {"train": {"mode": "synthetic", "kind": "ab",
+                                       "crop_size": 16, "n_samples": 4,
+                                       "batch_size": 2, "n_workers": 0}},
+                "network_G": {"type": "resnet_net", "n_blocks": 1,
+                              "ngf": 8},
+                "network_D": {"type": "patchgan", "ndf": 8,
+                              "n_layers": 1},
+                "train": {"lr_G": 2e-4, "lr_D": 2e-4,
+                          "gan_type": "lsgan", "gan_weight": 1.0,
+                          "lambda_A": 10.0, "lambda_B": 10.0,
+                          "lambda_identity": 0, "niter": 4,
+                          "lr_scheme": "MultiStepLR",
+                          "lr_steps": [100]},
+                "logger": {"print_freq": 2, "save_checkpoint_freq": 4,
+                           "tensorboard": False}}, "cyclegan")
+    models = os.listdir(os.path.join(exp, "models"))
+    assert any("G_A" in m for m in models)  # multi-net checkpoint naming
+
+
+def test_cli_srflow():
+    _run({"model": "srflow", "scale": 4, "use_amp": False,
+          "datasets": {"train": {"mode": "synthetic", "crop_size": 32,
+                                 "n_samples": 4, "batch_size": 2,
+                                 "n_workers": 0}},
+          "network_G": {"type": "srflow_net", "nf": 8, "nb": 2, "gc": 4,
+                        "scale": 4, "K": 2,
+                        "flow": {"L": 3, "hidden_channels": 8}},
+          "train": {"lr_G": 1e-4, "niter": 4, "fl_weight": 1.0,
+                    "lr_scheme": "MultiStepLR", "lr_steps": [100]},
+          "logger": {"print_freq": 2, "save_checkpoint_freq": 4,
+                     "tensorboard": False}}, "srflow")

@@ -345,13 +345,26 @@ def main(argv=None):
     # via `parallel: {data: N, fsdp: M}` in the options file.
     mesh = None
     par = opt.get("parallel") or {}
+    train_bs = 1
+    for k, ds in (opt.get("datasets") or {}).items():
+        if k.split("_")[0] == "train":
+            train_bs = int(ds.get("batch_size", 1) or 1)
     if len(jax.devices()) > 1 or par:
         from trainner_tpu.parallel.mesh import MeshConfig, make_mesh
 
-        mesh = make_mesh(MeshConfig(data=int(par.get("data", -1) or -1),
-                                    fsdp=int(par.get("fsdp", 1) or 1)))
-        logger.info(f"Device mesh: {dict(mesh.shape)} over "
-                    f"{len(jax.devices())} devices")
+        data_ax = int(par.get("data", -1) or -1)
+        n_dev = len(jax.devices())
+        if data_ax <= 0:
+            data_ax = n_dev // max(int(par.get("fsdp", 1) or 1), 1)
+        if train_bs % max(data_ax, 1) == 0:
+            mesh = make_mesh(MeshConfig(data=data_ax,
+                                        fsdp=int(par.get("fsdp", 1) or 1)))
+            logger.info(f"Device mesh: {dict(mesh.shape)} over "
+                        f"{n_dev} devices")
+        else:
+            logger.warning(
+                f"batch_size {train_bs} not divisible by data axis "
+                f"{data_ax}; running single-device")
 
     trainer = create_trainer(opt, mesh=mesh)
 

@@ -180,18 +180,40 @@ class UnalignedDataset:
 
 class SyntheticDataset:
     """Random-data dataset for smoke tests / benchmarks (no reference
-    equivalent; replaces the need for disk fixtures in CI)."""
+    equivalent; replaces the need for disk fixtures in CI).
+
+    kind: 'sr' (LR/HR pairs), 'ab' (unaligned A/B), 'video' (clips),
+    'dvd' (interlaced + fields)."""
 
     def __init__(self, dataset_opt: dict):
         self.scale = int(dataset_opt.get("scale", 4) or 4)
         self.hr = int(dataset_opt.get("crop_size", 128) or 128)
         self.n = int(dataset_opt.get("n_samples", 64) or 64)
+        self.kind = dataset_opt.get("kind", "sr")
+        self.num_frames = int(dataset_opt.get("num_frames", 3) or 3)
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, index: int):
         rng = np.random.default_rng(index)
+        if self.kind == "ab":
+            return {"A": rng.random((self.hr, self.hr, 3), np.float32),
+                    "B": rng.random((self.hr, self.hr, 3), np.float32),
+                    "A_path": str(index), "B_path": str(index)}
+        if self.kind == "video":
+            hr = rng.random((self.num_frames, self.hr, self.hr, 3),
+                            np.float32)
+            lr = np.stack([imresize_np(f, 1.0 / self.scale) for f in hr])
+            return {"LR": lr.astype(np.float32), "HR": hr,
+                    "LR_path": str(index)}
+        if self.kind == "dvd":
+            a = rng.random((self.hr, self.hr, 3), np.float32)
+            b = rng.random((self.hr, self.hr, 3), np.float32)
+            mixed = a.copy()
+            mixed[1::2] = b[1::2]
+            return {"in": mixed, "top": a, "bottom": b,
+                    "LR_path": str(index)}
         hr = rng.random((self.hr, self.hr, 3), np.float32)
         lr = imresize_np(hr, 1.0 / self.scale)
         return {"LR": lr, "HR": hr, "LR_path": str(index),
