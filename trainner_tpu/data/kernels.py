@@ -13,7 +13,7 @@ reference's per-sample file reads in worker processes.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -16,7 +16,7 @@ TCHW/CTHW switch collapses to this single canonical layout).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

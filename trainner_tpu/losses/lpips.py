@@ -17,7 +17,7 @@ the whole distance is one fused XLA graph.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ init happens in the trainers (functional, explicit rngs).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Callable, Dict
 
 import jax.numpy as jnp
 

@@ -10,7 +10,7 @@ TPU-first: NHWC, reflect padding via jnp.pad, bf16 compute / f32 params.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

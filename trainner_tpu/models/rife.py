@@ -12,7 +12,7 @@ input; all resizes are static-shape bilinear.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -25,7 +25,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ gather (ops/warp.grid_sample) with patches folded into the batch axis.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

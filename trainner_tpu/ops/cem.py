@@ -20,7 +20,6 @@ the reference's WrapArchitecture (ref CEMnet.py:58).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

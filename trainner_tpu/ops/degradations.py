@@ -18,7 +18,6 @@ jnp.where mixes.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax

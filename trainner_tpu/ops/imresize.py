@@ -17,7 +17,7 @@ into the jitted graph.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple, Union
+from typing import Callable, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

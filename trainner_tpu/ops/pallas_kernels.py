@@ -17,7 +17,6 @@ fusion (blur+noise+quantize in one VMEM pass).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,10 +15,8 @@ mixed-precision policy instead of GradScaler state.
 from __future__ import annotations
 
 import json
-import math
 import os
 import re
-from typing import Any, Optional
 
 import yaml
 

@@ -13,11 +13,11 @@ both G and D; batches shard over the mesh 'data' axis.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..losses.gan import build_adversarial
 from ..losses.generator_loss import GeneratorLoss

@@ -14,7 +14,7 @@ step and selects one of three cached jit specializations.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

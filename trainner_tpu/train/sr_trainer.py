@@ -41,9 +41,9 @@ from ..ops.batchaug import BatchAugment
 from ..ops.blocks import interpolate, space_to_depth
 from ..ops.diffaug import diff_augment
 from ..ops.filters import filter_high, filter_low
-from ..parallel.mesh import batch_sharding, param_sharding
-from .optimizers import Optimizer, build_optimizer
-from .schedulers import Scheduler, build_scheduler
+from ..parallel.mesh import batch_sharding
+from .optimizers import build_optimizer
+from .schedulers import build_scheduler
 from .state import NetState, SRTrainState, ema_update, init_swa, swa_update
 
 

@@ -9,7 +9,6 @@ the swap happens between the G step and the D step on host arrays).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 
