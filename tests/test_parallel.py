@@ -1,0 +1,99 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU backend
+(SURVEY.md §2.9 — the distributed-backend layer)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trainner_tpu.parallel.mesh import (MeshConfig, batch_sharding,
+                                        local_batch_slice, make_mesh,
+                                        param_sharding, replicate,
+                                        shard_batch)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _trainer(mesh=None):
+    from trainner_tpu.train.sr_trainer import SRTrainer
+
+    opt = {"is_train": True, "scale": 2,
+           "network_G": {"type": "rrdb_net", "nf": 8, "nb": 1, "gc": 4,
+                         "upscale": 2, "gaussian_noise": False},
+           "network_D": {"type": "discriminator_vgg", "size": 16,
+                         "base_nf": 8},
+           "train": {"lr_G": 1e-3, "lr_D": 1e-3,
+                     "pixel_criterion": "l1", "pixel_weight": 1.0,
+                     "gan_type": "vanilla", "gan_weight": 5e-3,
+                     "lr_scheme": "MultiStepLR", "lr_steps": [100],
+                     "niter": 100}}
+    return SRTrainer(opt, mesh=mesh, dtype=jnp.float32)
+
+
+def _batch(b=8):
+    r = np.random.default_rng(0)
+    return {"LR": r.random((b, 8, 8, 3), np.float32),
+            "HR": r.random((b, 16, 16, 3), np.float32)}
+
+
+def test_mesh_construction():
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    assert dict(mesh.shape) == {"data": 4, "fsdp": 2}
+    mesh = make_mesh(MeshConfig(data=-1, fsdp=1))
+    assert mesh.shape["data"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(data=3, fsdp=2))
+
+
+def test_local_batch_slice_single_process():
+    mesh = make_mesh(MeshConfig(data=8))
+    s = local_batch_slice(32, mesh)
+    assert (s.start, s.stop) == (0, 32)
+
+
+def test_data_parallel_matches_single_device():
+    """8-way data-parallel GAN step must reproduce the single-device
+    step (same math, gradients all-reduced by XLA)."""
+    batch = _batch(8)
+
+    tr1 = _trainer(mesh=None)
+    s1 = tr1.init_state(jax.random.PRNGKey(0), (8, 8, 8, 3))
+    s1, logs1 = tr1.train_step(s1, batch)
+
+    mesh = make_mesh(MeshConfig(data=8, fsdp=1))
+    tr2 = _trainer(mesh=mesh)
+    s2 = tr2.init_state(jax.random.PRNGKey(0), (8, 8, 8, 3))
+    s2 = replicate(s2, mesh)
+    sharded = shard_batch(batch, mesh)
+    s2, logs2 = tr2.train_step(s2, sharded)
+
+    assert abs(float(logs1["l_g_total"]) - float(logs2["l_g_total"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(s1.g.params),
+                    jax.tree.leaves(s2.g.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fsdp_sharding_specs():
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    tr = _trainer(mesh=mesh)
+    state = tr.init_state(jax.random.PRNGKey(0), (8, 8, 8, 3))
+    shardings = param_sharding(state, mesh)
+    # large kernels get an fsdp-sharded dim; tiny leaves stay replicated
+    specs = [s.spec for s in jax.tree.leaves(shardings)]
+    assert any(any(ax == "fsdp" for ax in sp if ax) for sp in specs
+               if sp) or all(not sp for sp in specs)
+
+    # and the sharded step still runs
+    state = jax.tree.map(jax.device_put, state, shardings)
+    batch = shard_batch(_batch(8), mesh)
+    state, logs = tr.train_step(state, batch)
+    assert np.isfinite(float(logs["l_g_total"]))
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh(MeshConfig(data=8))
+    sh = batch_sharding(mesh)
+    x = jax.device_put(np.zeros((8, 4, 4, 3), np.float32), sh)
+    assert len(x.addressable_shards) == 8
+    assert x.addressable_shards[0].data.shape == (1, 4, 4, 3)
