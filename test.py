@@ -100,6 +100,9 @@ def main(argv=None):
                 sr = top
                 save_img(tensor2img(np.asarray(bottom)[0], znorm),
                          os.path.join(res_dir, f"{i}_bottom.png"))
+            elif model == "sftgan" and "seg" in batch:
+                sr = trainer.eval_step(state, lr,
+                                       jnp.asarray(batch["seg"]))
             elif ensemble_x8:
                 sr = trainer.eval_step_x8(state, lr)
             elif chop:

@@ -122,3 +122,35 @@ def save_checkpoint(state: Any, opt: dict, epoch: int, niter: int,
                     os.path.join(model_dir, f"{tag}_emaG{CKPT_EXT}"))
     save_state(state, os.path.join(state_dir, f"{tag}{STATE_EXT}"),
                epoch=epoch)
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (opt-in): async, multi-host-coordinated checkpointing for
+# production pods — the msgpack path above stays the default (simple,
+# dependency-light, identical artifacts to the reference's layout).
+# ---------------------------------------------------------------------------
+
+
+def save_state_orbax(state: Any, directory: str, step: int) -> None:
+    """Write the TrainState with orbax (per-shard, multi-host safe)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(os.path.abspath(directory), str(step)),
+               _to_host(state), force=True)
+
+
+def load_state_orbax(directory: str, step: int, target: Any):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(
+        os.path.join(os.path.abspath(directory), str(step)),
+        item=_to_host(target))
+    return jax.tree.map(lambda t, r: jnp_like(t, r), target, restored)
+
+
+def jnp_like(template, value):
+    import jax.numpy as jnp
+
+    return jnp.asarray(value) if hasattr(template, "dtype") else value
