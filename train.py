@@ -172,14 +172,14 @@ def make_otf_degradation(opt):
     import jax.numpy as jnp
 
     def apply(rng, batch):
+        # stays ON DEVICE end-to-end (outputs feed the jitted train step)
         batch = dict(batch)
         r1, r2 = jax.random.split(rng)
         if hr_deg is not None and not hr_deg.is_noop and "HR" in batch:
-            batch["HR"] = np.asarray(
-                hr_deg(r1, jnp.asarray(batch["HR"])))
+            batch["HR"] = hr_deg(r1, jnp.asarray(batch["HR"]))
         if lr_deg is not None and not lr_deg.is_noop:
             src = batch["HR"] if lr_from_hr else batch["LR"]
-            batch["LR"] = np.asarray(lr_deg(r2, jnp.asarray(src)))
+            batch["LR"] = lr_deg(r2, jnp.asarray(src))
         return batch
 
     return apply
@@ -241,6 +241,26 @@ def fit(trainer, opt, loaders, state, start_epoch, current_step, logger,
     deg_rng = jax.random.PRNGKey(
         int((opt.get("train") or {}).get("manual_seed") or 0) + 7)
 
+    def device_batches(loader):
+        """Prefetch the next batch to device while the current step runs
+        (ref pin_memory + async H2D; data/loader.device_prefetch)."""
+        from trainner_tpu.data.loader import device_prefetch
+
+        mesh = getattr(trainer, "mesh", None)
+        sharding = None
+        if mesh is not None:
+            from trainner_tpu.parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(mesh)
+
+        def arrays_only(it):
+            for b in it:
+                yield {k: v for k, v in b.items()
+                       if isinstance(v, np.ndarray)}
+
+        return device_prefetch(arrays_only(loader), size=2,
+                               sharding=sharding)
+
     train_opt = opt["train"] or {}
     logger_opt = opt.get("logger") or {}
     niter = int(float(train_opt.get("niter") or 5e5))
@@ -258,12 +278,11 @@ def fit(trainer, opt, loaders, state, start_epoch, current_step, logger,
     epoch = start_epoch
     try:
         while current_step < niter:
-            for batch in train_loader:
+            for arrays in device_batches(train_loader):
                 if current_step >= niter:
                     break
                 current_step += 1
                 timer.tic()
-                arrays = _batch_arrays(batch)
                 if degrade is not None:
                     deg_rng, r = jax.random.split(deg_rng)
                     arrays = degrade(r, arrays)
