@@ -241,11 +241,14 @@ class SRTrainer:
             return y, dict(new_extra)
         return out, g.extra
 
-    def _d_apply(self, d: NetState, params, x, train: bool):
+    def _d_apply(self, d: NetState, params, x, train: bool,
+                 return_feats: bool = False):
         """Always returns (logits, extra_collections)."""
         variables = {"params": params, **d.extra}
         mutable = [k for k in d.extra] if train and d.extra else False
-        out = self.netD.apply(variables, x, train=train, mutable=mutable)
+        kwargs = {"return_feats": True} if return_feats else {}
+        out = self.netD.apply(variables, x, train=train, mutable=mutable,
+                              **kwargs)
         if mutable:
             logits, new_extra = out
             return logits, dict(new_extra)
@@ -307,7 +310,9 @@ class SRTrainer:
                     ra = diff_augment(r_da, ra, self.dapolicy)
 
                 def d_fn(x, want_maps=False):
-                    out, _ = self._d_apply(state.d, d_params, x, train=False)
+                    out, _ = self._d_apply(state.d, d_params, x,
+                                           train=False,
+                                           return_feats=want_maps)
                     return out
 
                 l_g_gan = self.adversarial.generator_loss(d_fn, fa, ra)
