@@ -15,7 +15,9 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference tree not mounted")
 
 if os.path.isdir(REF) and REF not in sys.path:
-    sys.path.insert(0, REF)
+    # APPEND, never prepend: the reference tree has top-level modules
+    # (train, utils, models, dataops) that must not shadow ours
+    sys.path.append(REF)
 
 # the reference imports torchvision at module scope; it is not installed
 # here — stub just enough for import (we only call pure-numpy functions)

@@ -75,6 +75,19 @@ class AlignedDataset:
         self.use_flip = bool(dataset_opt.get("use_flip", True))
         self.use_rot = bool(dataset_opt.get("use_rot", True))
         self.seed_base = int(dataset_opt.get("seed", 0) or 0)
+        # random HR pre-downscale probability (ref base_dataset
+        # aug_downscale / augmentations.random_downscale_B:1054)
+        self.aug_downscale = float(dataset_opt.get("aug_downscale", 0)
+                                   or 0)
+        # optional subset file: one relative path per line
+        # (ref base_dataset read_dataroots:134 subset support)
+        subset = dataset_opt.get("subset_file")
+        if subset and os.path.isfile(subset):
+            with open(subset) as f:
+                wanted = {ln.strip() for ln in f if ln.strip()}
+            self.hr_paths = [p for p in self.hr_paths
+                             if os.path.basename(p) in wanted or
+                             p in wanted]
 
     def __len__(self) -> int:
         return len(self.hr_paths)
@@ -93,6 +106,17 @@ class AlignedDataset:
             hr = modcrop(hr, self.scale)
             lr = imresize_np(hr, 1.0 / self.scale, kernel="cubic")
         if self.phase == "train":
+            if self.aug_downscale and rng.random() < self.aug_downscale:
+                # shrink HR (and regenerate LR) to diversify effective
+                # scales (ref random_downscale_B:1054)
+                f = float(rng.uniform(0.5, 0.95))
+                new_h = max(int(hr.shape[0] * f) // self.scale * self.scale,
+                            self.hr_crop)
+                new_w = max(int(hr.shape[1] * f) // self.scale * self.scale,
+                            self.hr_crop)
+                if new_h < hr.shape[0] and new_w < hr.shape[1]:
+                    hr = imresize_np(hr, out_shape=(new_h, new_w))
+                    lr = imresize_np(hr, 1.0 / self.scale)
             hr, lr = paired_random_crop(hr, lr, self.hr_crop, self.scale,
                                         rng)
             hr, lr = augment_pair([hr, lr], self.use_flip, self.use_rot,
