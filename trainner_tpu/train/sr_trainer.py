@@ -501,9 +501,19 @@ class SRTrainer:
             y = cem_project(y, x, self.scale, kernel=self.cem_kernel)
         return y
 
-    def eval_step(self, state: SRTrainState, lr_img) -> jnp.ndarray:
-        """Inference forward (ref sr_model.test:269)."""
-        return self._eval_step(state.g, lr_img)
+    def eval_step(self, state: SRTrainState, lr_img,
+                  which: str = "auto") -> jnp.ndarray:
+        """Inference forward (ref sr_model.test:269).
+
+        which: 'g' | 'ema' | 'swa' | 'auto' (auto prefers ema, then swa
+        when available — mirrors validating the averaged model after the
+        SWA switchover, ref base_model.py:246-323)."""
+        g = state.g
+        if which in ("ema", "auto") and state.ema_params is not None:
+            g = state.g.replace(params=state.ema_params)
+        elif which == "swa" and state.swa_params is not None:
+            g = state.g.replace(params=state.swa_params)
+        return self._eval_step(g, lr_img)
 
     def eval_step_chop(self, state: SRTrainState, lr_img,
                        patch_size: int = 128,
