@@ -109,3 +109,21 @@ def test_cli_srflow():
                     "lr_scheme": "MultiStepLR", "lr_steps": [100]},
           "logger": {"print_freq": 2, "save_checkpoint_freq": 4,
                      "tensorboard": False}}, "srflow")
+
+
+def test_cli_wbc():
+    _run({"model": "wbc", "scale": 1, "use_amp": False, "pool_size": 4,
+          "datasets": {"train": {"mode": "synthetic", "kind": "ab",
+                                 "crop_size": 32, "n_samples": 4,
+                                 "batch_size": 2, "n_workers": 0}},
+          "network_G": {"type": "wbcunet_net", "nf": 8},
+          "network_D": {"type": "patchgan", "ndf": 8, "n_layers": 1},
+          "train": {"lr_G": 2e-4, "lr_D": 2e-4, "gan_type": "lsgan",
+                    "gan_weight": 1.0, "pixel_criterion": "l1",
+                    "pixel_weight": 1.0, "cont_losses": ["pix"],
+                    "struct_losses": ["pix"], "reg_losses": ["tv"],
+                    "tv_type": "tv", "tv_weight": 1e-5,
+                    "sp_n_segments": 16, "niter": 4,
+                    "lr_scheme": "MultiStepLR", "lr_steps": [100]},
+          "logger": {"print_freq": 2, "save_checkpoint_freq": 4,
+                     "tensorboard": False}}, "wbc")
