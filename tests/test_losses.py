@@ -179,3 +179,44 @@ def test_contextual_loss(pair):
     v = cx(sr, hr)
     assert jnp.isfinite(v)
     assert float(cx(sr, sr)) < float(v)
+
+
+def test_generator_loss_full_option_surface():
+    """Every loss key from the reference train-option surface builds,
+    yields a finite value AND a finite gradient (ref losses.py:34-161)."""
+    from trainner_tpu.losses.generator_loss import GeneratorLoss
+
+    opt = {"train": {
+        "pixel_criterion": "l1", "pixel_weight": 1e-2,
+        "feature_criterion": "l1", "feature_weight": 1.0,
+        "cx_weight": 0.5,
+        "hfen_criterion": "l1", "hfen_weight": 1e-6,
+        "grad_type": "grad-4d-l1", "grad_weight": 1e-3,
+        "tv_type": "tv", "tv_norm": 1, "tv_weight": 1e-5,
+        "ssim_type": "ms-ssim", "ssim_weight": 0.2,
+        "spl_type": "spl", "spl_weight": 0.1,
+        "fft_type": "fft", "fft_weight": 1e-4,
+        "of_type": "overflow", "of_weight": 0.2,
+        "range_weight": 0.1,
+        "color_criterion": "l1", "color_weight": 0.1,
+        "avg_criterion": "l1", "avg_weight": 0.1,
+        "ms_criterion": "multiscale-l1", "ms_weight": 0.1,
+        "fdpl_weight": 1e-3,
+    }}
+    gl = GeneratorLoss(opt, device_dtype=jnp.float32)
+    assert len(gl.entries) >= 13, [e.name for e in gl.entries]
+
+    rng = jax.random.PRNGKey(0)
+    sr = jax.random.uniform(rng, (2, 32, 32, 3))
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    def loss_fn(x):
+        total, logs = gl(x, hr)
+        return total
+
+    val, grad = jax.value_and_grad(loss_fn)(sr)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+    _, logs = gl(sr, hr)
+    for k, v in logs.items():
+        assert np.isfinite(float(v)), k

@@ -54,6 +54,10 @@ def ms_ssim(x: jnp.ndarray, y: jnp.ndarray, window_size: int = 11,
             levels: int = 5) -> jnp.ndarray:
     """Multi-scale SSIM (ref ssim.py:418). Input must be >= 2^(levels-1) *
     (window_size+1) pixels; callers on small crops should lower `levels`."""
+    # cap levels so the coarsest map stays at least window-sized
+    h, w = x.shape[1], x.shape[2]
+    max_levels = max(1, int(np.log2(max(min(h, w) // window_size, 1))) + 1)
+    levels = min(levels, max_levels)
     weights = jnp.asarray(_MSSSIM_WEIGHTS[:levels])
     weights = weights / jnp.sum(weights)
     vals = []
@@ -63,8 +67,9 @@ def ms_ssim(x: jnp.ndarray, y: jnp.ndarray, window_size: int = 11,
         if i != levels - 1:
             x, y = _downsample2(x), _downsample2(y)
     vals = jnp.stack(vals)
-    # relu guards against negative cs at low levels (standard practice)
-    return jnp.prod(jnp.maximum(vals, 0.0) ** weights)
+    # clamp with epsilon, not 0: d/dx x**w is infinite at x=0, which
+    # poisons gradients (standard relu-guard variant is not train-safe)
+    return jnp.prod(jnp.clip(vals, 1e-6, None) ** weights)
 
 
 def ssim_loss(x: jnp.ndarray, y: jnp.ndarray, **kw) -> jnp.ndarray:
