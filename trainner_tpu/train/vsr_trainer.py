@@ -242,3 +242,27 @@ class VSRTrainer:
 
     def eval_step(self, state: SRTrainState, lr_clip) -> jnp.ndarray:
         return self._eval(state.g, lr_clip)
+
+    def eval_step_chop(self, state: SRTrainState, lr_clip,
+                       min_size: int = 128) -> jnp.ndarray:
+        """Recursive spatial quad-split for VRAM/HBM-bounded inference
+        (ref test_vsr.py chop_forward:18): split the clip into 4
+        overlapping quadrants until each fits, SR each, reassemble."""
+        b, t, h, w, c = lr_clip.shape
+        if h * w <= min_size * min_size:
+            return self.eval_step(state, lr_clip)
+        s = self.scale
+        h2, w2 = h // 2, w // 2
+        oh, ow = h2 + 8, w2 + 8  # overlap margin
+        quads = [lr_clip[:, :, :oh, :ow], lr_clip[:, :, :oh, -ow:],
+                 lr_clip[:, :, -oh:, :ow], lr_clip[:, :, -oh:, -ow:]]
+        outs = [self.eval_step_chop(state, q, min_size) for q in quads]
+        out = jnp.zeros((b, h * s, w * s, outs[0].shape[-1]),
+                        jnp.float32)
+        hs, ws = h2 * s, w2 * s
+        out = out.at[:, :hs, :ws].set(outs[0][:, :hs, :ws])
+        out = out.at[:, :hs, ws:].set(outs[1][:, :hs, -(w * s - ws):])
+        out = out.at[:, hs:, :ws].set(outs[2][:, -(h * s - hs):, :ws])
+        out = out.at[:, hs:, ws:].set(
+            outs[3][:, -(h * s - hs):, -(w * s - ws):])
+        return out
