@@ -253,3 +253,28 @@ def test_host_exact_ops_run():
     assert H.motion_blur_exact(img, 7, 30.0).shape == img.shape
     assert H.gaussian_noise_exact(img, 10.0).shape == img.shape
     assert H.clahe_exact(img).shape == img.shape
+
+
+def test_rotate_batch_identity_and_pair():
+    from trainner_tpu.ops.geometry import rotate_batch, rotate_pair
+
+    x = jax.random.uniform(RNG, (2, 32, 32, 3))
+    y = rotate_batch(RNG, x, max_deg=0.0)  # zero rotation -> identity
+    assert float(jnp.abs(y - x).max()) < 1e-4
+    hr = jax.random.uniform(RNG, (2, 32, 32, 3))
+    lr = jax.random.uniform(jax.random.PRNGKey(5), (2, 8, 8, 3))
+    hr2, lr2 = rotate_pair(jax.random.PRNGKey(6), hr, lr, max_deg=30.0)
+    assert hr2.shape == hr.shape and lr2.shape == lr.shape
+    assert float(jnp.abs(hr2 - hr).max()) > 1e-3  # actually rotated
+
+
+def test_perspective_batch():
+    from trainner_tpu.ops.geometry import perspective_batch
+
+    x = jax.random.uniform(RNG, (2, 32, 32, 3))
+    y = perspective_batch(jax.random.PRNGKey(7), x, distortion=0.2)
+    assert y.shape == x.shape
+    assert float(jnp.abs(y - x).max()) > 1e-3
+    # near-zero distortion -> near identity
+    y0 = perspective_batch(jax.random.PRNGKey(8), x, distortion=1e-6)
+    assert float(jnp.abs(y0 - x).max()) < 1e-3
