@@ -151,3 +151,26 @@ def test_pbr_trainer_multi_map():
     assert np.isfinite(float(logs["l_g_total"]))
     assert any(k.endswith("_diffuse") for k in logs)
     assert any(k.endswith("_height") for k in logs)
+
+
+def test_vsr_trainer_edvr():
+    from trainner_tpu.train.vsr_trainer import VSRTrainer
+
+    opt = {"is_train": True, "scale": 4, "model": "vsr",
+           "network_G": {"type": "edvr_net", "num_feat": 8,
+                         "num_frame": 3, "deformable_groups": 2,
+                         "num_extract_block": 1,
+                         "num_reconstruct_block": 1,
+                         "center_frame_idx": 1, "upscale": 4},
+           "train": {"lr_G": 1e-4, "niter": 100, "pixel_criterion": "cb",
+                     "pixel_weight": 1.0, "lr_scheme": "MultiStepLR",
+                     "lr_steps": [50]}}
+    tr = VSRTrainer(opt)
+    rng = np.random.default_rng(6)
+    batch = {"LR": rng.random((1, 3, 8, 8, 3), np.float32),
+             "HR": rng.random((1, 3, 32, 32, 3), np.float32)}
+    state = tr.init_state_from_batch(jax.random.PRNGKey(0), batch)
+    state, logs = tr.train_step(state, batch)
+    assert np.isfinite(float(logs["l_g_total"]))
+    sr = tr.eval_step(state, jnp.asarray(batch["LR"]))
+    assert sr.shape == (1, 32, 32, 3)
