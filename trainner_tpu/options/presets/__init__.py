@@ -48,6 +48,11 @@ def load_preset(name: str, opt_path: str = "") -> dict:
         raise FileNotFoundError(f"Preset not found: {name}")
     with open(path, "r") as f:
         data = yaml.safe_load(f)
+    if "pipeline" in data or "augs" in data:
+        # flat schema: pipeline flags + per-aug configs under `augs`
+        cfg = {"pipeline": data.get("pipeline") or {}}
+        cfg.update(data.get("augs") or {})
+        return cfg
     return data.get("config", {}) or {}
 
 
