@@ -233,6 +233,7 @@ def fit(trainer, opt, loaders, state, start_epoch, current_step, logger,
         tb):
     """The hot loop (ref train.py:196)."""
     import jax
+    import jax.numpy as jnp
 
     from trainner_tpu.utils.checkpoint import save_checkpoint
     from trainner_tpu.utils.metrics import Timer
@@ -268,6 +269,7 @@ def fit(trainer, opt, loaders, state, start_epoch, current_step, logger,
     save_freq = int(logger_opt.get("save_checkpoint_freq") or 5e3)
     val_freq = int(float(train_opt.get("val_freq") or 5e3))
     overwrite_chkp = bool(logger_opt.get("overwrite_chkp"))
+    display_freq = int(logger_opt.get("display_freq") or 0)
     train_loader = loaders["train"]
     total_epochs = max(1, int(math.ceil(niter / max(len(train_loader), 1))))
     timer = Timer()
@@ -307,6 +309,24 @@ def fit(trainer, opt, loaders, state, start_epoch, current_step, logger,
                         for k, v in logs.items():
                             tb.add_scalar(f"train/{k}", float(v),
                                           current_step)
+
+                if display_freq and current_step % display_freq == 0 \
+                        and "A" in arrays:
+                    # i2i sample grids A | G(A) | B (ref train.py:409-438)
+                    from trainner_tpu.data.common import (save_img_comp,
+                                                          tensor2img)
+
+                    fake = np.asarray(trainer.eval_step(
+                        state, jnp.asarray(arrays["A"][:1])))[0]
+                    grid_dir = os.path.join(
+                        opt["path"]["experiments_root"], "samples")
+                    os.makedirs(grid_dir, exist_ok=True)
+                    save_img_comp(
+                        [tensor2img(np.asarray(arrays["A"][0])),
+                         tensor2img(fake),
+                         tensor2img(np.asarray(arrays["B"][0]))],
+                        os.path.join(grid_dir,
+                                     f"{current_step:08d}.png"))
 
                 if current_step % save_freq == 0:
                     save_checkpoint(state, opt, epoch, current_step,
