@@ -79,6 +79,10 @@ class AlignedDataset:
         # aug_downscale / augmentations.random_downscale_B:1054)
         self.aug_downscale = float(dataset_opt.get("aug_downscale", 0)
                                    or 0)
+        # host-exact OTF degradations (otf_mode: host): real codec
+        # round-trips / cv2 blurs per sample in the loader workers —
+        # the parity-exact alternative to the on-device pipeline
+        self.host_otf = (dataset_opt.get("otf_mode") == "host")
         # optional subset file: one relative path per line
         # (ref base_dataset read_dataroots:134 subset support)
         subset = dataset_opt.get("subset_file")
@@ -125,11 +129,47 @@ class AlignedDataset:
             hr = modcrop(hr, self.scale)
             lr = lr[: hr.shape[0] // self.scale,
                     : hr.shape[1] // self.scale]
+        if self.host_otf and self.phase == "train":
+            lr = self._host_degrade(lr, rng)
         return {"LR": img2tensor(lr, self.znorm),
                 "HR": img2tensor(hr, self.znorm),
                 "LR_path": self.lr_paths[index] if self.lr_paths
                 else self.hr_paths[index],
                 "HR_path": self.hr_paths[index]}
+
+    def _host_degrade(self, lr: np.ndarray, rng) -> np.ndarray:
+        """cv2/codec-exact degradations driven by the same option keys as
+        the device pipeline (data/host_degradations.py)."""
+        from . import host_degradations as H
+
+        o = self.opt
+        if o.get("lr_blur") and rng.random() < float(
+                o.get("blur_prob", 1) or 1):
+            types = [str(t) for t in (o.get("lr_blur_types") or
+                                      ["gaussian"])]
+            t = types[int(rng.integers(0, len(types)))]
+            if t in ("motion", "complexmotion"):
+                lr = H.motion_blur_exact(lr, 7,
+                                         float(rng.uniform(0, 180)))
+            else:
+                lr = H.gaussian_blur_exact(
+                    lr, 11, float(rng.uniform(0.2, 2.8)))
+        if o.get("lr_noise"):
+            types = [str(t).lower() for t in (o.get("lr_noise_types") or
+                                              ["gaussian"])]
+            t = types[int(rng.integers(0, len(types)))]
+            if t in ("jpeg", "webp"):
+                q = int(rng.integers(30, 96))
+                lr = (H.jpeg_compress_exact(lr, q) if t == "jpeg"
+                      else H.webp_compress_exact(lr, q))
+            elif t == "clahe":
+                lr = H.clahe_exact(lr)
+            else:
+                lr = H.gaussian_noise_exact(
+                    lr, float(rng.uniform(1, 25)), rng)
+        if o.get("compression"):
+            lr = H.jpeg_compress_exact(lr, int(rng.integers(30, 96)))
+        return lr.astype(np.float32)
 
 
 class SingleDataset:
