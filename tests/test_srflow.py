@@ -103,3 +103,18 @@ def test_srflow_trainer_step_and_freeze():
     assert np.allclose(np.asarray(rrdb_before), np.asarray(rrdb_after))
     sr = tr.eval_step(state, jnp.asarray(batch["LR"]), heat=0.5)
     assert sr.shape == (2, 32, 32, 3)
+
+
+def test_srflow_full_invertibility_with_splits():
+    """With all epses returned and fed back, reverse(forward(gt)) == gt
+    even across split layers (complete glow invertibility)."""
+    net = SRFlowNet(nf=8, nb=2, gc=4, scale=4, K=2, L=3,
+                    hidden_channels=8)
+    lr = jax.random.uniform(RNG, (1, 8, 8, 3))
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    v = net.init(RNG, gt=hr, lr=lr, reverse=False, rng=RNG)
+    epses, nll, _ = net.apply(v, gt=hr, lr=lr, reverse=False,
+                              add_gt_noise=False, return_epses=True)
+    assert len(epses) == 3  # 2 splits + final z
+    hr_rec, _ = net.apply(v, lr=lr, reverse=True, epses=epses)
+    assert np.allclose(np.asarray(hr_rec), np.asarray(hr), atol=2e-3)

@@ -216,7 +216,8 @@ class Split2d(nn.Module):
             h = prior(z1)
             mean, logs = jnp.split(h, 2, axis=-1)
             logdet = logdet + gaussian_logp(z2, mean, logs)
-            return z1, logdet, z2
+            eps = (z2 - mean) * jnp.exp(-logs)  # normalized latent
+            return z1, logdet, eps
         z1 = x
         h = prior(z1)
         mean, logs = jnp.split(h, 2, axis=-1)
@@ -292,7 +293,8 @@ class SRFlowNet(nn.Module):
     @nn.compact
     def __call__(self, gt=None, lr=None, z=None, eps_std: float = 1.0,
                  reverse: bool = False, add_gt_noise: bool = True,
-                 rng: Optional[jax.Array] = None, train: bool = True):
+                 rng: Optional[jax.Array] = None, train: bool = True,
+                 return_epses: bool = False, epses=None):
         cond_full = RRDBEncoder(self.in_nc, self.nf, self.nb, self.gc,
                                 dtype=self.dtype, name="RRDB")(lr, train)
         cond_full = cond_full.astype(jnp.float32)
@@ -344,6 +346,8 @@ class SRFlowNet(nn.Module):
             # split logps are already accumulated into logdet
             objective = logdet + gaussian_logp(x)
             nll = -objective / (LOG2 * pixels)
+            if return_epses:
+                return epses, nll, logdet
             return x, nll, logdet
 
         # reverse: sample
@@ -352,15 +356,27 @@ class SRFlowNet(nn.Module):
         h_top = hr_h // (2 ** self.L)
         w_top = hr_w // (2 ** self.L)
         c_top = chans[-1]
-        if z is None:
+        if epses is not None:
+            x = epses[-1]
+        elif z is not None:
+            x = z
+        else:
             assert rng is not None
             rng, r = jax.random.split(rng)
-            z = jax.random.normal(r, (b, h_top, w_top, c_top)) * eps_std
-        x = z
+            x = jax.random.normal(r, (b, h_top, w_top, c_top)) * eps_std
+        n_split = sum(1 for s_ in splits if s_ is not None)
+        eps_i = n_split - 1
         for lv in range(self.L, 0, -1):
             if splits[lv - 1] is not None:
-                rng, r = jax.random.split(rng)
-                x, logdet, _ = splits[lv - 1](x, logdet, True,
+                eps = None
+                if epses is not None:
+                    eps = epses[eps_i]
+                    eps_i -= 1
+                if rng is not None:
+                    rng, r = jax.random.split(rng)
+                else:
+                    r = None
+                x, logdet, _ = splits[lv - 1](x, logdet, True, eps=eps,
                                               eps_std=eps_std, rng=r)
             for stp in reversed(steps[lv - 1]):
                 x, logdet = stp(x, conds[lv - 1], logdet, True)
