@@ -169,3 +169,46 @@ def test_deform_conv_matches_plain_conv():
     ref = jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
     assert float(jnp.abs(y - ref).max()) < 1e-5
+
+
+def test_partial_conv_interior_matches_conv_and_border_renorm():
+    """PartialConv (ref convolutions/partialconv2d.py:16): with an
+    all-ones mask, interior outputs equal a plain conv; border outputs
+    are renormalized by slide_winsize/valid-taps; fully-masked windows
+    produce exact zeros."""
+    import numpy as np
+
+    from trainner_tpu.ops.partial_conv import PartialConv
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, 10, 12, 4))
+    pc = PartialConv(6, 3, pad=1, use_bias=False)
+    v = pc.init(rng, x)
+    y = pc.apply(v, x)
+    assert y.shape == (2, 10, 12, 6)
+    w = v["params"]["conv"]["kernel"]
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # interior: identical; border: renormalized (corner ratio 9/4)
+    assert np.allclose(np.asarray(y[:, 1:-1, 1:-1]),
+                       np.asarray(ref[:, 1:-1, 1:-1]), atol=1e-5)
+    assert np.allclose(np.asarray(y[:, 0, 0]),
+                       np.asarray(ref[:, 0, 0]) * (9.0 / 4.0), atol=1e-4)
+    # a hole in the mask: windows fully inside the hole output zero
+    mask = jnp.ones((2, 10, 12, 1)).at[:, 2:7, 2:9].set(0.0)
+    y2 = pc.apply(v, x, mask_in=mask)
+    assert float(jnp.abs(y2[:, 4, 5]).max()) == 0.0
+
+
+def test_rrdb_partialconv_convtype():
+    from trainner_tpu.models.networks import define_G
+
+    net = define_G({"network_G": {"type": "rrdb_net", "nf": 8, "nb": 1,
+                                  "gc": 4, "upscale": 2,
+                                  "convtype": "PartialConv2D"}})
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((1, 8, 8, 3))
+    v = jax.jit(lambda: net.init(rng, x, train=False))()
+    y = net.apply(v, x, train=False)
+    assert y.shape == (1, 16, 16, 3)
+    assert jnp.all(jnp.isfinite(y))

@@ -38,6 +38,9 @@ def _build_rrdb(cfg: dict, dtype) -> RRDBNet:
         gaussian_noise=bool(cfg.get("gaussian_noise", True)),
         plus=bool(cfg.get("plus", False)),
         conv3d=str(cfg.get("convtype", "")).lower() == "conv3d",
+        convtype=("PartialConv2D"
+                  if str(cfg.get("convtype", "")).lower() == "partialconv2d"
+                  else "Conv2D"),
         dtype=dtype)
 
 

@@ -47,6 +47,7 @@ class ResidualDenseBlock5C(nn.Module):
     gaussian_noise: bool = False
     spectral_norm: bool = False
     conv_dims: int = 2  # 3 = Conv3D trunk (EVSRGAN, ref convtype Conv3D)
+    convtype: str = "Conv2D"  # PartialConv2D supported (ref block.py:214)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -55,7 +56,8 @@ class ResidualDenseBlock5C(nn.Module):
             ConvBlock, kernel_size=self.kernel_size, norm_type=self.norm_type,
             act_type=self.act_type, mode=self.mode,
             spectral_norm=self.spectral_norm, kernel_init=kaiming_init(0.1),
-            conv_dims=self.conv_dims, dtype=self.dtype)
+            conv_dims=self.conv_dims, convtype=self.convtype,
+            dtype=self.dtype)
         x1 = cb(self.gc, name="conv1")(x, train)
         x2 = cb(self.gc, name="conv2")(_cat([x, x1]), train)
         if self.plus:
@@ -91,6 +93,7 @@ class RRDB(nn.Module):
     gaussian_noise: bool = False
     spectral_norm: bool = False
     conv_dims: int = 2
+    convtype: str = "Conv2D"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -100,7 +103,7 @@ class RRDB(nn.Module):
             out = ResidualDenseBlock5C(
                 self.nf, self.gc, self.kernel_size, self.act_type,
                 self.norm_type, self.mode, self.plus, self.gaussian_noise,
-                self.spectral_norm, self.conv_dims, self.dtype,
+                self.spectral_norm, self.conv_dims, self.convtype, self.dtype,
                 name=f"RDB{i + 1}")(out, train)
         return out * 0.2 + x
 
@@ -127,6 +130,7 @@ class RRDBNet(nn.Module):
     gaussian_noise: bool = True
     plus: bool = False
     conv3d: bool = False  # EVSRGAN: Conv3D trunk over (b, t, h, w, c)
+    convtype: str = "Conv2D"  # trunk conv variant, e.g. PartialConv2D
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -142,7 +146,7 @@ class RRDBNet(nn.Module):
             trunk = RRDB(self.nf, self.nr, self.gc, 3, self.act_type,
                          self.norm_type, self.mode, self.plus,
                          self.gaussian_noise, conv_dims=dims,
-                         dtype=self.dtype,
+                         convtype=self.convtype, dtype=self.dtype,
                          name=f"RRDB{i}")(trunk, train)
         trunk = ConvBlock(self.nf, 3, norm_type=self.norm_type, act_type=None,
                           mode=self.mode, kernel_init=kaiming_init(0.1),

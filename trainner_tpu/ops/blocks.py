@@ -176,14 +176,24 @@ class ConvBlock(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Dtype = jnp.float32
     conv_dims: int = 2  # 2 = Conv2D, 3 = Conv3D
+    convtype: str = "Conv2D"  # Conv2D | PartialConv2D (ref block.py:214)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         assert self.mode in ("CNA", "NAC", "CNAC")
         pad = (self.kernel_size - 1) // 2 * self.dilation
         ks = (self.kernel_size,) * self.conv_dims
+        partial = self.convtype.lower() == "partialconv2d"
 
         def make_conv():
+            if partial:
+                from .partial_conv import PartialConv
+                # partial conv owns its (zero) padding: the mask must be
+                # padded with invalid zeros alongside x
+                return PartialConv(
+                    self.features, self.kernel_size, self.stride,
+                    self.dilation, use_bias=self.use_bias, pad=pad,
+                    kernel_init=self.kernel_init, dtype=self.dtype)
             conv = nn.Conv(
                 self.features, ks, strides=(self.stride,) * self.conv_dims,
                 padding="VALID", kernel_dilation=(self.dilation,) * self.conv_dims,
@@ -210,7 +220,8 @@ class ConvBlock(nn.Module):
 
         a = act(self.act_type)
         if self.mode in ("CNA", "CNAC"):
-            x = explicit_pad(x, pad, self.pad_type)
+            if not partial:
+                x = explicit_pad(x, pad, self.pad_type)
             conv = make_conv()
             x = conv(x, update_stats=train) if self.spectral_norm else conv(x)
             norm = make_norm(self.features)
@@ -227,7 +238,8 @@ class ConvBlock(nn.Module):
             x = norm(x)
         if self.act_type:
             x = a(x)
-        x = explicit_pad(x, pad, self.pad_type)
+        if not partial:
+            x = explicit_pad(x, pad, self.pad_type)
         conv = make_conv()
         return conv(x, update_stats=train) if self.spectral_norm else conv(x)
 
