@@ -278,3 +278,52 @@ def test_perspective_batch():
     # near-zero distortion -> near identity
     y0 = perspective_batch(jax.random.PRNGKey(8), x, distortion=1e-6)
     assert float(jnp.abs(y0 - x).max()) < 1e-3
+
+
+def test_dither_family():
+    from trainner_tpu.ops import degradations as D
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, 16, 16, 3))
+    for kind in ("bayer", "fs", "rnd", "bin", "avg"):
+        for bw in (False, True):
+            y = D.dither_batch(rng, x, kind=kind, bw=bw)
+            assert y.shape == x.shape, (kind, bw)
+            vals = np.unique(np.asarray(y))
+            assert vals.min() >= 0.0 and vals.max() <= 1.0
+            if kind != "avg":
+                # 1-bit dither -> binary output
+                assert set(np.round(vals, 5)).issubset({0.0, 1.0}), kind
+            if bw:
+                assert np.allclose(np.asarray(y[..., 0]),
+                                   np.asarray(y[..., 1]))
+
+
+def test_kmeans_quantize_reduces_palette():
+    from trainner_tpu.ops import degradations as D
+
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.uniform(rng, (2, 24, 24, 3))
+    y = D.kmeans_quantize(rng, x, n_colors=8, iters=6, sample=256)
+    assert y.shape == x.shape
+    for i in range(2):
+        pal = np.unique(np.asarray(y[i]).reshape(-1, 3), axis=0)
+        assert len(pal) <= 8
+    # 8 colors must beat the trivial 1-color (global mean) palette
+    err = float(jnp.mean((x - y) ** 2))
+    base = float(jnp.mean((x - jnp.mean(x, axis=(1, 2),
+                                        keepdims=True)) ** 2))
+    assert err < base * 0.7, (err, base)
+
+
+def test_noise_stage_dispatch_new_types():
+    from trainner_tpu.data.pipeline import _noise_stage
+
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.uniform(rng, (2, 16, 16, 3))
+    for types in (["fs_dither"], ["bayer_bw_dither"], ["km_quantize"],
+                  ["simplequantize"], ["som_quantize"]):
+        fn = _noise_stage(types, {}, 1.0)
+        y = jax.jit(fn)(rng, x)
+        assert y.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(y)))

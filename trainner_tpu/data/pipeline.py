@@ -161,7 +161,8 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
                  prob: float) -> Callable:
     """Per-sample choice among noise types (one-hot mixture)."""
     raw = [str(t).lower() for t in types] or ["gaussian"]
-    types = [t if t in _DEVICE_NOISE else "gaussian" for t in raw]
+    types = [t if (t in _DEVICE_NOISE or "dither" in t or "quantize" in t)
+             else "gaussian" for t in raw]
 
     def make_op(t: str) -> Callable:
         cfg = cfgs.get(t, {}) or {}
@@ -187,11 +188,29 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
             amt = float(cfg.get("amount", 0.01))
             return partial(D.salt_pepper_noise,
                            amount_range=(amt / 10, amt))
-        if t == "quantize":
-            n = int(cfg.get("num_colors", 32))
+        if t in ("simplequantize", "simple_quantize"):
+            n = int(cfg.get("num_colors", cfg.get("rgb_range", 32)))
             return lambda rng, x: D.quantize_colors(x, n)
-        if t == "dither":
-            return lambda rng, x: D.ordered_dither(x)
+        if "quantize" in t:  # quantize / som_quantize / km_quantize
+            n = int(cfg.get("num_colors", 32))
+            return partial(D.kmeans_quantize, n_colors=n)
+        if "dither" in t:
+            # ref augmentations.py :304-318 substring dispatch
+            bw = "bw" in t
+            if "bayer" in t:
+                kind = "bayer"
+            elif "avg" in t:
+                kind = "avg"
+            elif "bin" in t:
+                kind = "bin"
+            elif "rnd" in t:
+                kind = "rnd"
+            elif "fs" in t or t == "dither":
+                kind = "fs"
+            else:
+                kind = "bayer"
+            bits = int(cfg.get("bits", 1))
+            return partial(D.dither_batch, kind=kind, bits=bits, bw=bw)
         if t == "maxrgb":
             return lambda rng, x: jnp.max(
                 x, axis=-1, keepdims=True).repeat(x.shape[-1], -1)

@@ -386,6 +386,100 @@ def ordered_dither(x: jnp.ndarray, bits: int = 1) -> jnp.ndarray:
                               * (levels - 1)) / (levels - 1), 0.0, 1.0)
 
 
+def _luma(x: jnp.ndarray) -> jnp.ndarray:
+    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    return jnp.einsum("bhwc,c->bhw", x[..., :3], w)[..., None]
+
+
+def _ign_threshold(h: int, w: int) -> jnp.ndarray:
+    """Interleaved-gradient-noise threshold field in [0,1): the standard
+    parallel stand-in for error-diffusion dithers — serpentine
+    Floyd-Steinberg (ref augmennt FSDitherNoise) is inherently a
+    pixel-by-pixel recurrence, which would serialize the whole image on
+    TPU; IGN reproduces its high-frequency blue-noise look with pure
+    elementwise math."""
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    v = 52.9829189 * jnp.mod(0.06711056 * xs + 0.00583715 * ys, 1.0)
+    return jnp.mod(v, 1.0)
+
+
+def dither_batch(rng: jax.Array, x: jnp.ndarray, kind: str = "bayer",
+                 bits: int = 1, bw: bool = False) -> jnp.ndarray:
+    """Dither family (ref augmennt transforms.py :2224-2288 /
+    augmentations.py noise dispatch :304-318): 'bayer' ordered, 'fs'
+    (error-diffusion look via IGN threshold), 'rnd' random threshold,
+    'avg' local-average threshold, 'bin' plain binarization. `bw=True`
+    reproduces the *BWDitherNoise variants (dither the luma, replicate)."""
+    b, h, w, c = x.shape
+    v = _luma(x) if bw else x
+    levels = 2 ** bits
+    kind = kind.lower()
+    if kind == "bin":
+        out = jnp.round(v * (levels - 1)) / (levels - 1)
+    elif kind == "avg":
+        cv = v.shape[-1]
+        k = jnp.tile(jnp.ones((3, 3, 1, 1), v.dtype) / 9.0, (1, 1, 1, cv))
+        avg = jax.lax.conv_general_dilated(
+            v, k, (1, 1), "SAME", feature_group_count=cv,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = (v > avg).astype(v.dtype)
+    else:
+        if kind == "bayer":
+            bay = jnp.asarray([[0, 8, 2, 10], [12, 4, 14, 6],
+                               [3, 11, 1, 9], [15, 7, 13, 5]],
+                              jnp.float32) / 16.0
+            thr = jnp.tile(bay, (h // 4 + 1, w // 4 + 1))[:h, :w]
+        elif kind == "rnd":
+            thr = jax.random.uniform(rng, (h, w))
+        else:  # 'fs' and default: IGN blue-noise-like threshold
+            thr = _ign_threshold(h, w)
+        t = (thr[None, :, :, None] - 0.5) / levels
+        out = jnp.clip(jnp.round((v + t) * (levels - 1)) / (levels - 1),
+                       0.0, 1.0)
+    if bw:
+        out = jnp.repeat(out, c, axis=-1)
+    return out
+
+
+def kmeans_quantize(rng: jax.Array, x: jnp.ndarray, n_colors: int = 32,
+                    iters: int = 8, sample: int = 1024) -> jnp.ndarray:
+    """Palette quantization by per-sample Lloyd k-means (ref augmennt
+    RandomQuantize :1771 / RandomQuantizeSOM :1750 — the SOM quantizer is
+    online k-means over a color grid, so one batched Lloyd solver covers
+    both 'km_quantize' and 'som_quantize'/'quantize').
+
+    TPU-first: centers are fit on a `sample`-pixel subset; assignment and
+    center updates are one-hot matmuls inside a lax.scan — everything
+    stays batched on the MXU (vs the reference's per-image sklearn/minisom
+    fit on host)."""
+    b, h, w, c = x.shape
+    flat = x.reshape(b, h * w, c)
+    idx = jax.random.randint(rng, (b, sample), 0, h * w)
+    sub = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (b,s,c)
+    init = sub[:, :n_colors]  # (b,k,c) k-means++ unneeded at these sizes
+
+    def step(centers, _):
+        # (b,s,k) squared distances via the expansion trick (MXU matmul)
+        d = (jnp.sum(sub ** 2, -1, keepdims=True)
+             - 2.0 * jnp.einsum("bsc,bkc->bsk", sub, centers)
+             + jnp.sum(centers ** 2, -1)[:, None, :])
+        onehot = jax.nn.one_hot(jnp.argmin(d, -1), n_colors,
+                                dtype=x.dtype)  # (b,s,k)
+        tot = jnp.einsum("bsk,bsc->bkc", onehot, sub)
+        cnt = jnp.sum(onehot, axis=1)[..., None]
+        new = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), centers)
+        return new, None
+
+    centers, _ = jax.lax.scan(step, init, None, length=iters)
+    d = (jnp.sum(flat ** 2, -1, keepdims=True)
+         - 2.0 * jnp.einsum("bpc,bkc->bpk", flat, centers)
+         + jnp.sum(centers ** 2, -1)[:, None, :])
+    assign = jnp.argmin(d, -1)  # (b, h*w)
+    out = jnp.take_along_axis(centers, assign[..., None], axis=1)
+    return out.reshape(b, h, w, c)
+
+
 # ---------------------------------------------------------------------------
 # resize ops (batched, per-sample algorithm choice)
 # ---------------------------------------------------------------------------
