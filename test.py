@@ -115,7 +115,12 @@ def main(argv=None):
             save_img(sr_img, os.path.join(res_dir, img_name + ".png"))
             n_img += 1
             if batch.get("HR") is not None:
-                gt_img = tensor2img(batch["HR"][0], znorm)
+                gt = batch["HR"]
+                if getattr(gt, "ndim", 4) == 5:
+                    # video GT (b,t,h,w,c): score the center frame
+                    # (ref test_vsr.py supervises HR_center)
+                    gt = gt[:, gt.shape[1] // 2]
+                gt_img = tensor2img(gt[0], znorm)
                 r = metrics.calculate_metrics(sr_img, gt_img,
                                               crop_size=scale)
                 ry = metrics_y.calculate_metrics(sr_img, gt_img,

@@ -1,0 +1,55 @@
+"""End-to-end inference-CLI smokes (ref codes/test.py test_loop:102 and
+test_vsr.py): run test.py over synthetic datasets, check PNG outputs and
+that metrics were computed."""
+
+import os
+import shutil
+
+import yaml
+
+import test as test_cli
+
+ROOT = "/tmp/trainner_tpu_testcli_tests"
+
+
+def _run(opt_dict, name):
+    os.makedirs(ROOT, exist_ok=True)
+    opt_dict = dict(opt_dict)
+    opt_dict["name"] = f"debug_{name}"
+    opt_dict.setdefault("path", {})["root"] = ROOT
+    shutil.rmtree(os.path.join(ROOT, "results", f"debug_{name}"),
+                  ignore_errors=True)
+    p = os.path.join(ROOT, f"{name}.yml")
+    with open(p, "w") as f:
+        yaml.safe_dump(opt_dict, f)
+    test_cli.main(["-opt", p])
+    res = os.path.join(ROOT, "results", f"debug_{name}")
+    assert os.path.isdir(res)
+    pngs = [f for d, _, fs in os.walk(res) for f in fs
+            if f.endswith(".png")]
+    assert pngs, f"no images written under {res}"
+    return res
+
+
+def test_test_cli_sr_with_metrics():
+    _run({"model": "sr", "scale": 2,
+          "datasets": {"test_1": {"name": "synth", "mode": "synthetic",
+                                  "scale": 2, "crop_size": 16,
+                                  "n_samples": 2, "batch_size": 1,
+                                  "n_workers": 0}},
+          "network_G": {"type": "sr_resnet", "nf": 8, "nb": 2,
+                        "upscale": 2},
+          "metrics": "psnr,ssim"}, "sr_infer")
+
+
+def test_test_cli_vsr_video_gt():
+    """5-D video GT must be scored against the center frame."""
+    _run({"model": "vsr", "scale": 2,
+          "datasets": {"test_1": {"name": "synthv", "mode": "synthetic",
+                                  "kind": "video", "scale": 2,
+                                  "crop_size": 16, "num_frames": 3,
+                                  "n_samples": 2, "batch_size": 1,
+                                  "n_workers": 0}},
+          "network_G": {"type": "sr3d_net", "nf": 4, "n_frames": 3,
+                        "scale": 2},
+          "metrics": "psnr"}, "vsr_infer")
