@@ -120,3 +120,20 @@ def test_rename_and_color2gray(tmp_path, monkeypatch):
                 monkeypatch)
     g = cv2.imread(str(gray / "im_0.png"), cv2.IMREAD_UNCHANGED)
     assert g is not None and g.ndim == 2
+
+
+def test_extract_enlarge_patches(tmp_path, monkeypatch):
+    import cv2
+
+    src = tmp_path / "ori"
+    src.mkdir()
+    rng = np.random.default_rng(1)
+    cv2.imwrite(str(src / "a.png"),
+                rng.integers(0, 255, (32, 32, 3)).astype(np.uint8))
+    out = tmp_path / "figs"
+    _run_script("extract_enlarge_patches",
+                [str(src / "*.png"), str(out), "--rect", "4", "6", "8",
+                 "10", "--ratio", "2"], monkeypatch)
+    patch = cv2.imread(str(out / "a_patch.png"))
+    assert patch.shape == (16, 20, 3)
+    assert os.path.exists(out / "a_rect.png")
