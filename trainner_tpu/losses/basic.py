@@ -66,10 +66,10 @@ def masked_l1(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def frobenius(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Frobenius norm of the difference, per sample, averaged
-    (ref FrobeniusNormLoss:457)."""
-    d = (x - y).reshape(x.shape[0], -1)
-    return jnp.mean(jnp.linalg.norm(d, axis=-1))
+    """Frobenius (L2) norm of the whole flattened difference, normalized
+    by the channel count (ref FrobeniusNormLoss:457, defaults kind='vec',
+    out_norm='c')."""
+    return jnp.linalg.norm((x - y).ravel()) / x.shape[-1]
 
 
 def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:

@@ -30,7 +30,9 @@ def hfen(x: jnp.ndarray, y: jnp.ndarray, criterion: Callable = l1,
     """(ref HFENLoss:173): criterion(LoG(x), LoG(y)), optionally normalized
     by ||LoG(y)||."""
     k = log_kernel(kernel_size, sigma)
-    lx, ly = filter2d(x, k), filter2d(y, k)
+    # zero padding to match ref load_filter:457 (nn.Conv2d int padding)
+    lx = filter2d(x, k, pad_mode="constant")
+    ly = filter2d(y, k, pad_mode="constant")
     val = criterion(lx, ly)
     if norm:
         val = val / jnp.maximum(jnp.linalg.norm(ly.ravel()), 1e-8)
@@ -45,19 +47,11 @@ def hfen(x: jnp.ndarray, y: jnp.ndarray, criterion: Callable = l1,
 def tv_loss(x: jnp.ndarray, tv_type: str = "tv", p: int = 1) -> jnp.ndarray:
     """Total variation (ref TVLoss:227). tv: 2-direction; dtv: adds the two
     diagonal differences ("4D")."""
-    dh = x[:, 1:, :, :] - x[:, :-1, :, :]
-    dw = x[:, :, 1:, :] - x[:, :, :-1, :]
-    if p == 1:
-        loss = jnp.mean(jnp.abs(dh)) + jnp.mean(jnp.abs(dw))
-    else:
-        loss = jnp.mean(dh * dh) + jnp.mean(dw * dw)
-    if tv_type in ("dtv", "4d"):
-        d1 = x[:, 1:, 1:, :] - x[:, :-1, :-1, :]
-        d2 = x[:, 1:, :-1, :] - x[:, :-1, 1:, :]
-        if p == 1:
-            loss = loss + jnp.mean(jnp.abs(d1)) + jnp.mean(jnp.abs(d2))
-        else:
-            loss = loss + jnp.mean(d1 * d1) + jnp.mean(d2 * d2)
+    grads = _grads(x, tv_type in ("dtv", "4d"))
+    loss = 0.0
+    for g in grads:
+        loss = loss + (jnp.mean(jnp.abs(g)) if p == 1
+                       else jnp.mean(g * g))
     return loss
 
 
@@ -67,13 +61,24 @@ def tv_loss(x: jnp.ndarray, tv_type: str = "tv", p: int = 1) -> jnp.ndarray:
 
 
 def _grads(x: jnp.ndarray, four_d: bool):
-    gh = x[:, 1:, :-1, :] - x[:, :-1, :-1, :]
-    gw = x[:, :-1, 1:, :] - x[:, :-1, :-1, :]
-    out = [gh, gw]
-    if four_d:
-        out.append(x[:, 1:, 1:, :] - x[:, :-1, :-1, :])
-        out.append(x[:, 1:, :-1, :] - x[:, :-1, 1:, :])
-    return out
+    """Same-size finite differences with zeroed last row/col, matching
+    ref dataops/filters.py get_image_gradients:722 (returns dx, dy) and
+    get_4dim_image_gradients:749 (dx, dy, dp, dn)."""
+    zc = jnp.zeros_like(x[:, :, :1, :])  # zero column
+    zr = jnp.zeros_like(x[:, :1, :, :])  # zero row
+    dx = jnp.concatenate([x[:, :, 1:, :] - x[:, :, :-1, :], zc], axis=2)
+    dy = jnp.concatenate([x[:, 1:, :, :] - x[:, :-1, :, :], zr], axis=1)
+    if not four_d:
+        return [dx, dy]
+    right = jnp.concatenate([x[:, :, 1:, :], zc], axis=2)
+    bottom = jnp.concatenate([x[:, 1:, :, :], zr], axis=1)
+    botright = jnp.concatenate(
+        [jnp.concatenate([x[:, 1:, 1:, :], zc[:, 1:]], axis=2), zr],
+        axis=1)
+    dn = botright - x
+    dp = right - bottom
+    dp = dp.at[:, -1, :, :].set(0.0)
+    return [dx, dy, dp, dn]
 
 
 def gradient_loss(x: jnp.ndarray, y: jnp.ndarray, criterion: Callable = l1,
@@ -88,18 +93,27 @@ def gradient_loss(x: jnp.ndarray, y: jnp.ndarray, criterion: Callable = l1,
 # ---------------------------------------------------------------------------
 
 
-def _trace_similarity(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Row/column-profile cosine similarity loss used by SPL
-    (ref SPLoss:741): sum over rows and columns of normalized dot products,
-    negated and averaged."""
-    def norm(v, axis):
-        return v / (jnp.linalg.norm(v, axis=axis, keepdims=True) + 1e-8)
+def _l2n(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+    # torch F.normalize semantics: v / max(||v||, eps)
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True),
+                           1e-12)
 
-    rows = jnp.sum(norm(a, 2) * norm(b, 2), axis=2)  # (B,H,C)
-    cols = jnp.sum(norm(a, 1) * norm(b, 1), axis=1)  # (B,W,C)
-    b_, h, w, c = a.shape
-    val = (jnp.sum(rows) / h + jnp.sum(cols) / w) / (c * b_)
-    return -val
+
+def _spl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Spatial-profile similarity (ref SPLoss:741, the efficient batch
+    form): column profiles (normalize along H) + row profiles (normalize
+    along W), summed and scaled by -1/(H*B). NHWC axes 1/2 = NCHW 2/3."""
+    h_term = jnp.sum(_l2n(a, 1) * _l2n(b, 1))
+    w_term = jnp.sum(_l2n(a, 2) * _l2n(b, 2))
+    return -(h_term + w_term) / (a.shape[1] * a.shape[0])
+
+
+def _spl_trace(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Trace form (ref SPL_ComputeWithTrace:712): per-channel row/col
+    cosine sums scaled by 1/H and 1/W respectively, -mean over batch."""
+    rows = jnp.sum(_l2n(a, 2) * _l2n(b, 2), axis=(1, 2, 3)) / a.shape[1]
+    cols = jnp.sum(_l2n(a, 1) * _l2n(b, 1), axis=(1, 2, 3)) / a.shape[2]
+    return -jnp.sum(rows + cols) / a.shape[0]
 
 
 def gp_loss(x: jnp.ndarray, y: jnp.ndarray, trace: bool = False,
@@ -107,7 +121,7 @@ def gp_loss(x: jnp.ndarray, y: jnp.ndarray, trace: bool = False,
     """Gradient-profile loss (ref GPLoss:616)."""
     if spl_denorm:
         x, y = (x + 1) / 2, (y + 1) / 2
-    sim = _trace_similarity if trace else (lambda a, b: l1(a, b))
+    sim = _spl_trace if trace else _spl
     gx, gy = _grads(x, False), _grads(y, False)
     return sum(sim(a, b) for a, b in zip(gx, gy))
 
@@ -118,7 +132,9 @@ def cp_loss(x: jnp.ndarray, y: jnp.ndarray, rgb: bool = True,
     """Color-profile loss (ref CPLoss:652)."""
     if spl_denorm:
         x, y = (x + 1) / 2, (y + 1) / 2
-    sim = _trace_similarity if trace else (lambda a, b: l1(a, b))
+    if yuv_denorm and not spl_denorm:
+        x, y = (x + 1) / 2, (y + 1) / 2
+    sim = _spl_trace if trace else _spl
     total = 0.0
     if rgb:
         total = total + sim(x, y)
@@ -151,17 +167,19 @@ def fft_loss(x: jnp.ndarray, y: jnp.ndarray,
     return criterion(sx, sy)
 
 
-def overflow_loss(x: jnp.ndarray) -> jnp.ndarray:
-    """(ref OFLoss:527): penalize values outside [0,1] (log barrier-ish:
-    mean |clamp residual|)."""
-    clipped = jnp.clip(x, 0.0, 1.0)
-    return jnp.mean(jnp.abs(x - clipped))
+def overflow_loss(x: jnp.ndarray, legit_range=(0.0, 1.0)) -> jnp.ndarray:
+    """(ref OFLoss:527): mean log1p of the excursion outside the legit
+    range (sum * out_norm 'bci' == mean)."""
+    clipped = jnp.clip(x, legit_range[0], legit_range[1])
+    return jnp.mean(jnp.log1p(jnp.abs(x - clipped)))
 
 
 def range_loss(x: jnp.ndarray, legit_range=(0.0, 1.0)) -> jnp.ndarray:
-    """(ref RangeLoss:545): mean squared excursion outside the legit range."""
-    d = jnp.maximum(x - legit_range[1], 0) + jnp.maximum(legit_range[0] - x, 0)
-    return jnp.mean(d * d)
+    """(ref RangeLoss:545): mean (linear) excursion outside the legit
+    range — max(max(x-hi, 0), max(lo-x, 0)) elementwise, averaged."""
+    d = jnp.maximum(jnp.maximum(x - legit_range[1], 0.0),
+                    jnp.maximum(legit_range[0] - x, 0.0))
+    return jnp.mean(d)
 
 
 def color_loss(x: jnp.ndarray, y: jnp.ndarray, criterion: Callable = l1,

@@ -21,19 +21,41 @@ def rgb_to_grayscale(x: jnp.ndarray) -> jnp.ndarray:
     return _KR * r + _KG * g + _KB * b
 
 
-def rgb_to_yuv(x: jnp.ndarray) -> jnp.ndarray:
+def rgb_to_yuv(x: jnp.ndarray, consts: str = "yuv") -> jnp.ndarray:
+    """RGB -> YUV (ref dataops/colors.py rgb_to_yuv:66). Default 'yuv' is
+    the reference's BT.601 analog form with delta=0.5 chroma offset; 'yuvK'
+    is the Kornia offset-free matrix; 'ycbcr' the JPEG variant; 'uv'
+    returns only chroma; 'y' only luma."""
     r, g, b = x[..., 0:1], x[..., 1:2], x[..., 2:3]
     y = _KR * r + _KG * g + _KB * b
-    u = -0.147 * r - 0.289 * g + 0.436 * b
-    v = 0.615 * r - 0.515 * g - 0.100 * b
+    if consts == "y":
+        return y
+    if consts == "yuvK":
+        u = -0.147 * r - 0.289 * g + 0.436 * b
+        v = 0.615 * r - 0.515 * g - 0.100 * b
+        return jnp.concatenate([y, u, v], axis=-1)
+    if consts == "ycbcr":
+        uc, vc = 0.564, 0.713
+    else:  # 'yuv' / 'uv' / 'BT.601'
+        uc, vc = 0.493, 0.877
+    u = (b - y) * uc + 0.5
+    v = (r - y) * vc + 0.5
+    if consts == "uv":
+        return jnp.concatenate([u, v], axis=-1)
     return jnp.concatenate([y, u, v], axis=-1)
 
 
-def yuv_to_rgb(x: jnp.ndarray) -> jnp.ndarray:
+def yuv_to_rgb(x: jnp.ndarray, consts: str = "yuv") -> jnp.ndarray:
     y, u, v = x[..., 0:1], x[..., 1:2], x[..., 2:3]
-    r = y + 1.14 * v
-    g = y - 0.396 * u - 0.581 * v
-    b = y + 2.029 * u
+    if consts == "yuvK":
+        r = y + 1.14 * v
+        g = y - 0.396 * u - 0.581 * v
+        b = y + 2.029 * u
+        return jnp.concatenate([r, g, b], axis=-1)
+    uc, vc = (0.564, 0.713) if consts == "ycbcr" else (0.493, 0.877)
+    r = y + (v - 0.5) / vc
+    b = y + (u - 0.5) / uc
+    g = (y - _KR * r - _KB * b) / _KG
     return jnp.concatenate([r, g, b], axis=-1)
 
 

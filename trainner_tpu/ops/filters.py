@@ -71,15 +71,17 @@ def sinc_kernel(size: int, cutoff: float) -> np.ndarray:
 
 
 def log_kernel(size: int, sigma: float = 0.5) -> np.ndarray:
-    """Laplacian-of-Gaussian kernel (ref filters.py get_log_kernel, used by
-    HFEN loss)."""
-    ax = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
-    xx, yy = np.meshgrid(ax, ax)
+    """Laplacian-of-Gaussian kernel, numerically identical to ref
+    filters.py get_log_kernel2d:224 (used by the HFEN loss): gaussian x
+    (r^2 - 2 sigma^2) / (2 pi sigma^4), then sign-flipped and normalized
+    by its own sum."""
+    half = (size - 1) // 2
+    ax = np.arange(-half, half + 1, dtype=np.float64)
+    yy, xx = np.meshgrid(ax, ax, indexing="ij")
     s2 = sigma * sigma
-    g = np.exp(-(xx**2 + yy**2) / (2 * s2))
-    g /= g.sum()
-    lg = g * (xx**2 + yy**2 - 2 * s2) / (s2 * s2)
-    lg -= lg.mean()
+    g = np.exp(-(xx ** 2) / (2 * s2)) * np.exp(-(yy ** 2) / (2 * s2))
+    lg = g * ((xx ** 2 + yy ** 2) - 2 * s2) / (2 * math.pi * s2 * s2)
+    lg = -lg / lg.sum()
     return lg.astype(np.float32)
 
 
