@@ -188,3 +188,21 @@ def test_rgb_to_yuv_matches_reference():
     ref = ref_colors.rgb_to_yuv(_t(x)).numpy()
     ours = np.asarray(rgb_to_yuv(_j(x))).transpose(0, 3, 1, 2)
     assert np.abs(ours - ref).max() < 1e-6
+
+
+def test_contextual_parity(ref_loss):
+    """CX loss on raw images (use_vgg=False) across distance and calc
+    types (ref Contextual_Loss:769)."""
+    from trainner_tpu.losses.contextual import ContextualLoss
+
+    x, y = _pair((2, 3, 8, 8), seed=7)
+    xt, yt, xj, yj = _t(x), _t(y), _j(x), _j(y)
+    for dist in ("cosine", "l1", "l2"):
+        for calc in ("regular", "symetric", "bilateral"):
+            ref = ref_loss.Contextual_Loss(
+                use_vgg=False, distance_type=dist, calc_type=calc)(xt, yt)
+            ours = ContextualLoss(use_vgg=False, distance_type=dist,
+                                  calc_type=calc)(xj, yj)
+            # relative distances divide by the per-row min, amplifying
+            # f32 matmul roundoff (torch vs XLA) — hence the wider tol
+            _close(ours, ref, tol=5e-3)
