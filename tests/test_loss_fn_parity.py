@@ -206,3 +206,39 @@ def test_contextual_parity(ref_loss):
             # relative distances divide by the per-row min, amplifying
             # f32 matmul roundoff (torch vs XLA) — hence the wider tol
             _close(ours, ref, tol=5e-3)
+
+
+def test_ssim_msssim_parity(ref_loss):
+    """SSIM/MS-SSIM loss module parity (ref modules/ssim.py ssim:58,
+    ms_ssim:309 option 1)."""
+    import importlib.util
+
+    import jax.numpy as jnp
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ssim", os.path.join(REF, "models/modules/ssim.py"))
+    ref_ssim = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_ssim)
+
+    from trainner_tpu.losses.ssim import ms_ssim, ssim
+
+    x, y = _pair((2, 3, 48, 48), seed=8)
+    # correlate the pair so ssim isn't ~0
+    y = (0.7 * x + 0.3 * y).astype(np.float32)
+    xt, yt, xj, yj = _t(x), _t(y), _j(x), _j(y)
+
+    mod = ref_ssim.SSIM(window_size=11, data_range=1.0, channels=3)
+    _close(ssim(xj, yj, shave=4), mod(xt, yt, shave=4), tol=1e-4)
+
+    # the reference ssim()'s win=None fallback is broken (undefined
+    # `channels`, ssim.py:125) — build the window like its SSIM class
+    win = ref_ssim.get_gaussian_kernel1d(11, 1.5).repeat(3, 1, 1, 1)
+    ref_ms = ref_ssim.ms_ssim(xt, yt, win=win, data_range=1.0,
+                              use_padding=False)
+    _close(ms_ssim(xj, yj), ref_ms, tol=1e-4)
+
+    # small input: window shrink path (16 -> 1px at level 5)
+    xs, ys = xj[:, :16, :16], yj[:, :16, :16]
+    ref_ms_s = ref_ssim.ms_ssim(xt[..., :16, :16], yt[..., :16, :16],
+                                win=win, data_range=1.0)
+    _close(ms_ssim(xs, ys), ref_ms_s, tol=1e-3)
