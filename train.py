@@ -238,6 +238,18 @@ def fit(trainer, opt, loaders, state, start_epoch, current_step, logger,
     from trainner_tpu.utils.checkpoint import save_checkpoint
     from trainner_tpu.utils.metrics import Timer
 
+    # TPU preemptions deliver SIGTERM: route it into the same graceful
+    # save-and-exit path as Ctrl-C (ref train.py only handles the latter)
+    import signal
+
+    def _sigterm(_signum, _frame):
+        raise KeyboardInterrupt
+
+    try:
+        signal.signal(signal.SIGTERM, _sigterm)
+    except ValueError:
+        pass  # not in the main thread (e.g. under a test runner)
+
     degrade = make_otf_degradation(opt)
     deg_rng = jax.random.PRNGKey(
         int((opt.get("train") or {}).get("manual_seed") or 0) + 7)
