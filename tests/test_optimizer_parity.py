@@ -97,3 +97,24 @@ def test_adam_matches_torch():
                      1e-2, 20)
     ours = _run_ours("adam", w0, a, b, 1e-2, 20)
     assert np.abs(ours - ref).max() < 2e-4
+
+
+def test_ranger_matches_reference():
+    Ranger = _load_ref_module(
+        "models/modules/optimizers/ranger/ranger.py").Ranger
+
+    w0, a, b = _toy_problem()
+    # 20 steps spans RAdam's rectification warmup and 3 LookAhead syncs
+    ref = _run_torch(lambda p, lr: Ranger(p, lr=lr), w0, a, b, 1e-2, 20)
+    ours = _run_ours("ranger", w0, a, b, 1e-2, 20, use_gc=True)
+    assert np.abs(ours - ref).max() < 2e-4, np.abs(ours - ref).max()
+
+
+def test_madgrad_matches_reference():
+    MADGRAD = _load_ref_module(
+        "models/modules/optimizers/madgrad/madgrad.py").MADGRAD
+
+    w0, a, b = _toy_problem()
+    ref = _run_torch(lambda p, lr: MADGRAD(p, lr=lr), w0, a, b, 1e-2, 20)
+    ours = _run_ours("madgrad", w0, a, b, 1e-2, 20)
+    assert np.abs(ours - ref).max() < 2e-4, np.abs(ours - ref).max()

@@ -268,49 +268,6 @@ class MadgradState(NamedTuple):
     x0: Any
 
 
-def scale_by_madgrad(momentum: float = 0.9, eps: float = 1e-6,
-                     weight_decay: float = 0.0
-                     ) -> optax.GradientTransformation:
-    """MADGRAD dual averaging. NOTE: lr enters the *statistics* in true
-    MADGRAD; here we use the standard lr-outside approximation with lamb=1
-    inside and external lr scaling (madgrad.py behavior at fixed lr)."""
-
-    def init(params):
-        z = jax.tree.map(jnp.zeros_like, params)
-        return MadgradState(jnp.zeros([], jnp.int32), z,
-                            jax.tree.map(jnp.zeros_like, params),
-                            jax.tree.map(jnp.copy, params))
-
-    def update(updates, state, params):
-        count = state.count + 1
-        lamb = jnp.sqrt(count.astype(jnp.float32))
-
-        def upd(g, gss, s, x0, p):
-            if weight_decay:
-                g = g + weight_decay * p
-            gss_n = gss + lamb * g * g
-            s_n = s + lamb * g
-            rms = jnp.cbrt(gss_n) + eps
-            z = x0 - s_n / rms
-            p_new = (1 - momentum) * p + momentum * z \
-                if momentum else z
-            return p_new - p, gss_n, s_n
-
-        flat_u, tdef = jax.tree.flatten(updates)
-        flat_g = tdef.flatten_up_to(state.grad_sum_sq)
-        flat_s = tdef.flatten_up_to(state.s)
-        flat_x = tdef.flatten_up_to(state.x0)
-        flat_p = tdef.flatten_up_to(params)
-        outs = [upd(g, gs, s, x0, p) for g, gs, s, x0, p in
-                zip(flat_u, flat_g, flat_s, flat_x, flat_p)]
-        new_u = tdef.unflatten([o[0] for o in outs])
-        new_g = tdef.unflatten([o[1] for o in outs])
-        new_s = tdef.unflatten([o[2] for o in outs])
-        # note sign: this transform emits (p_new - p) directly; the external
-        # lr multiplies it, so lr acts as a relaxation factor here.
-        return new_u, MadgradState(count, new_g, new_s, state.x0)
-
-    return optax.GradientTransformation(init, update)
 
 
 # ---------------------------------------------------------------------------
@@ -377,9 +334,8 @@ def build_optimizer(name: str = "adam", *, beta1: float = 0.9,
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
     elif name == "madgrad":
-        return Optimizer(scale_by_madgrad(momentum=momentum, eps=eps,
-                                          weight_decay=weight_decay),
-                         sign=1.0)
+        return _MadgradOptimizer(momentum=momentum, eps=eps,
+                                 weight_decay=weight_decay)
     else:
         raise NotImplementedError(f"optimizer [{name}] not recognized")
     tx = optax.chain(*chain)
@@ -388,6 +344,63 @@ def build_optimizer(name: str = "adam", *, beta1: float = 0.9,
         # chain, so wrap at the Optimizer level instead.
         return _RangerOptimizer(tx, lookahead_k, lookahead_alpha)
     return Optimizer(tx)
+
+
+class _MadgradOptimizer(Optimizer):
+    """Exact MADGRAD (ref modules/optimizers/madgrad/madgrad.py step:69):
+    dual averaging where the learning rate enters the accumulated
+    statistics (lamb = (lr+eps) * sqrt(k+1)), second moments take a cube
+    root, and params are a (1-momentum)-weighted moving average of the
+    dual iterate z. lr is therefore consumed inside update(), not applied
+    externally. Trajectory-exact vs the reference
+    (tests/test_optimizer_parity.py)."""
+
+    def __init__(self, momentum: float = 0.9, eps: float = 1e-6,
+                 weight_decay: float = 0.0):
+        object.__setattr__(self, "tx", None)
+        object.__setattr__(self, "sign", 1.0)
+        object.__setattr__(self, "momentum", momentum)
+        object.__setattr__(self, "eps", eps)
+        object.__setattr__(self, "weight_decay", weight_decay)
+
+    def init(self, params):
+        return MadgradState(jnp.zeros([], jnp.int32),
+                            jax.tree.map(jnp.zeros_like, params),
+                            jax.tree.map(jnp.zeros_like, params),
+                            jax.tree.map(jnp.copy, params))
+
+    def update(self, grads, opt_state, params, lr):
+        k = opt_state.count
+        lr_eff = jnp.asarray(lr, jnp.float32) + self.eps
+        lamb = lr_eff * jnp.sqrt(k.astype(jnp.float32) + 1.0)
+        mom, eps, wd = self.momentum, self.eps, self.weight_decay
+        ck = 1.0 - mom
+
+        def upd(g, gss, s, x0, p):
+            if wd:
+                g = g + wd * p
+            if mom == 0.0:
+                # x0 reconstructed from current state (ref :155-157)
+                rms0 = jnp.cbrt(gss) + eps
+                x0 = p + s / rms0
+            gss_n = gss + lamb * g * g
+            rms = jnp.cbrt(gss_n) + eps
+            s_n = s + lamb * g
+            z = x0 - s_n / rms
+            p_new = z if mom == 0.0 else (1.0 - ck) * p + ck * z
+            return p_new - p, gss_n, s_n
+
+        flat_g, tdef = jax.tree.flatten(grads)
+        flat_gss = tdef.flatten_up_to(opt_state.grad_sum_sq)
+        flat_s = tdef.flatten_up_to(opt_state.s)
+        flat_x = tdef.flatten_up_to(opt_state.x0)
+        flat_p = tdef.flatten_up_to(params)
+        outs = [upd(*t) for t in
+                zip(flat_g, flat_gss, flat_s, flat_x, flat_p)]
+        deltas = tdef.unflatten([o[0] for o in outs])
+        new_gss = tdef.unflatten([o[1] for o in outs])
+        new_s = tdef.unflatten([o[2] for o in outs])
+        return deltas, MadgradState(k + 1, new_gss, new_s, opt_state.x0)
 
 
 class _RangerOptimizer(Optimizer):
