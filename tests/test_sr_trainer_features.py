@@ -1,0 +1,165 @@
+"""SR trainer feature-toggle tests — one step through each of the
+base-model features the reference wires in models/base_model.py
+(setup_* :603-790): unshuffle, CEM, AdaTarget, SWA, EMA, batch
+augmentations, DiffAugment, frequency separation, virtual batch,
+FreezeD, D update scheduling, gradient clipping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trainner_tpu.train.sr_trainer import SRTrainer
+
+BASE_TRAIN = {"lr_G": 1e-4, "lr_D": 1e-4, "niter": 100,
+              "pixel_criterion": "l1", "pixel_weight": 1.0,
+              "lr_scheme": "MultiStepLR", "lr_steps": [50]}
+GAN_TRAIN = dict(BASE_TRAIN, gan_type="vanilla", gan_weight=5e-3)
+
+
+def _batch(b=2, lr=8, scale=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return {"LR": rng.random((b, lr, lr, 3), np.float32),
+            "HR": rng.random((b, lr * scale, lr * scale, 3), np.float32)}
+
+
+def _trainer(extra_opt=None, train=None, gan=False, scale=2, nf=8):
+    opt = {"is_train": True, "scale": scale, "model": "sr",
+           "network_G": {"type": "sr_resnet", "nf": nf, "nb": 2,
+                         "upscale": scale},
+           "train": dict(train or (GAN_TRAIN if gan else BASE_TRAIN))}
+    if gan:
+        opt["network_D"] = {"type": "discriminator_vgg", "size": 16,
+                            "base_nf": 8}
+    opt.update(extra_opt or {})
+    return SRTrainer(opt)
+
+
+def test_unshuffle_packs_input():
+    tr = _trainer({"use_unshuffle": True, "unshuffle_scale": 2,
+                   "network_G": {"type": "sr_resnet", "nf": 8, "nb": 2,
+                                 "in_nc": 12, "upscale": 4}})
+    assert tr.unshuffle_scale == 2
+    batch = _batch()
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    state, logs = tr.train_step(state, batch)
+    assert np.isfinite(float(logs["l_g_total"]))
+    y = tr.eval_step(state, jnp.asarray(batch["LR"]))
+    assert y.shape == (2, 16, 16, 3)
+
+
+def test_cem_eval_output_is_downscale_consistent():
+    from trainner_tpu.ops.imresize import imresize
+
+    tr = _trainer({"use_cem": True}, scale=2)
+    batch = _batch()
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    state, logs = tr.train_step(state, batch)
+    assert np.isfinite(float(logs["l_g_total"]))
+    lr = jnp.asarray(batch["LR"])
+    y = tr.eval_step(state, lr)
+    back = imresize(y, 1 / 2, kernel="box", clip=False)
+    assert float(jnp.abs(back - lr).max()) < 1e-3
+
+
+def test_adatarget_step_and_loc_state():
+    tr = _trainer({"use_atg": True},
+                  train=dict(BASE_TRAIN, atg_start_iter=0))
+    batch = _batch()
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    assert state.loc is not None
+    state, logs = tr.train_step(state, batch)
+    assert np.isfinite(float(logs["l_g_total"]))
+
+
+def test_swa_and_ema_averages_update():
+    tr = _trainer({"use_swa": True, "use_ema": True},
+                  train=dict(BASE_TRAIN, swa_start_iter=1,
+                             ema_decay=0.5))
+    batch = _batch()
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    for _ in range(3):
+        state, _ = tr.train_step(state, batch)
+    g0 = jax.tree.leaves(state.g.params)[0]
+    if state.swa_params is not None:
+        s0 = jax.tree.leaves(state.swa_params)[0]
+        assert s0.shape == g0.shape
+    assert state.ema_params is not None
+    y = tr.eval_step(state, jnp.asarray(batch["LR"]), which="ema")
+    assert y.shape == (2, 16, 16, 3)
+
+
+def test_batchaug_mixup_step():
+    tr = _trainer(train=dict(BASE_TRAIN, mixup=True,
+                             mixopts=["blend", "mixup", "cutmix"],
+                             mixprob=[1.0, 1.0, 1.0],
+                             mixalpha=[0.6, 1.2, 0.7]))
+    assert tr.batchaug is not None
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    state, logs = tr.train_step(state, _batch())
+    assert np.isfinite(float(logs["l_g_total"]))
+
+
+def test_diffaug_and_fs_gan_step():
+    tr = _trainer(gan=True,
+                  train=dict(GAN_TRAIN, diffaug=True,
+                             dapolicy="color,translation", fs=True,
+                             lpf_type="gaussian", hpf_type="gaussian"))
+    assert tr.dapolicy and tr.use_fs
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    state, logs = tr.train_step(state, _batch())
+    assert np.isfinite(float(logs["l_g_total"]))
+    assert np.isfinite(float(logs["l_d_total"]))
+
+
+def test_virtual_batch_accumulation_matches_full_batch():
+    """Accumulating 2 half-batches must equal one full-batch step
+    (pixel-only, deterministic)."""
+    batch = _batch(b=4, seed=3)
+    tr_full = _trainer()
+    s_full = tr_full.init_state(jax.random.PRNGKey(0), (4, 8, 8, 3))
+    s_full, _ = tr_full.train_step(s_full, batch)
+
+    # (virtual_batch_size -> accumulation count is resolved by train.py;
+    # drive the trainer's microbatch count directly)
+    tr_acc = _trainer()
+    tr_acc.accumulations = 2
+    s_acc = tr_acc.init_state(jax.random.PRNGKey(0), (4, 8, 8, 3))
+    s_acc, _ = tr_acc.train_step(s_acc, batch)
+    a = jax.tree.leaves(s_full.g.params)[0]
+    b = jax.tree.leaves(s_acc.g.params)[0]
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
+def test_freeze_d_keeps_early_layers():
+    tr = _trainer(gan=True, train=dict(GAN_TRAIN, freeze_d=True,
+                                       freeze_loc=1))
+    assert tr.freeze_loc == 1
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    first = sorted(state.d.params.keys())[0]
+    before = np.asarray(jax.tree.leaves(state.d.params[first])[0]).copy()
+    state, _ = tr.train_step(state, _batch())
+    after = np.asarray(jax.tree.leaves(state.d.params[first])[0])
+    assert np.allclose(before, after)
+
+
+def test_d_update_ratio_and_init_iters():
+    tr = _trainer(gan=True, train=dict(GAN_TRAIN, D_update_ratio=2,
+                                       D_init_iters=1))
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    batch = _batch()
+    d0 = np.asarray(jax.tree.leaves(state.d.params)[0]).copy()
+    g0 = np.asarray(jax.tree.leaves(state.g.params)[0]).copy()
+    # step 0: only D trains during D_init_iters
+    state, _ = tr.train_step(state, batch)
+    g1 = np.asarray(jax.tree.leaves(state.g.params)[0])
+    d1 = np.asarray(jax.tree.leaves(state.d.params)[0])
+    assert np.allclose(g0, g1) and not np.allclose(d0, d1)
+
+
+def test_grad_clip_step():
+    tr = _trainer(train=dict(BASE_TRAIN, grad_clip="norm",
+                             grad_clip_value=0.01))
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    state, logs = tr.train_step(state, _batch())
+    assert np.isfinite(float(logs["l_g_total"]))

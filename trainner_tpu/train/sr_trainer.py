@@ -170,10 +170,10 @@ class SRTrainer:
         lpf = train_opt.get("lpf_type", "average")
         hpf = train_opt.get("hpf_type", "average")
         self.f_low = (lambda x: filter_low(x, kernel_size=9,
-                                           gaussian=lpf == "gaussian")) \
+                                           filter_type=lpf)) \
             if self.use_fs else None
         self.f_high = (lambda x: filter_high(x, kernel_size=9,
-                                             gaussian=hpf == "gaussian")) \
+                                             filter_type=hpf)) \
             if self.use_fs else None
 
         self._jit_cache: Dict[Any, Callable] = {}
@@ -270,13 +270,18 @@ class SRTrainer:
         # batch augmentations (ref sr_model.py:213-220)
         mask = None
         if self.batchaug is not None:
-            if self.cutblur:
+            # augs operate on equal-size pairs: nearest up/down is exact
+            # for integer scales, so non-cut regions survive bit-exact
+            # (the reference upsamples for cutblur, ref sr_model.py:213;
+            # its other augs scale box coords instead — same effect)
+            up = self.scale > 1
+            if up:
                 lr_img = interpolate(lr_img, scale=self.scale,
-                                     method="nearest")
+                                     mode="nearest")
             hr_img, lr_img, mask, _ = self.batchaug(r_aug, hr_img, lr_img)
-            if self.cutblur:
+            if up:
                 lr_img = interpolate(lr_img, scale=1.0 / self.scale,
-                                     method="nearest")
+                                     mode="nearest")
 
         def forward_g(params, lr_c, hr_c, msk, loc_params=None):
             g = state.g.replace(params=params)
@@ -292,11 +297,20 @@ class SRTrainer:
                 from ..ops.adatarget import ada_target
 
                 hr_c = ada_target(fake, hr_c, loc_params, self.loc_net)
-            if msk is not None:
-                fake_l = fake * msk
-                hr_l = hr_c * msk
+            # AdaTarget's patch grid drops the ragged edge when
+            # H,W % 7 != 0 — compute the loss on the aligned region
+            # (the reference F.folds into zeros there, atg.py:101)
+            ha, wa = hr_c.shape[1], hr_c.shape[2]
+            fake_roi = fake[:, :ha, :wa] \
+                if fake.shape[1:3] != (ha, wa) else fake
+            msk_roi = (msk[:, :ha, :wa]
+                       if msk is not None
+                       and msk.shape[1:3] != (ha, wa) else msk)
+            if msk_roi is not None:
+                fake_l = fake_roi * msk_roi
+                hr_l = hr_c * msk_roi
             else:
-                fake_l, hr_l = fake, hr_c
+                fake_l, hr_l = fake_roi, hr_c
             total, llogs = self.generator_loss(fake_l, hr_l,
                                                f_low=self.f_low)
             if self.use_gan:
