@@ -220,3 +220,34 @@ def test_generator_loss_full_option_surface():
     _, logs = gl(sr, hr)
     for k, v in logs.items():
         assert np.isfinite(float(v)), k
+
+
+def test_perceptual_feature_networks(pair):
+    """feature_network selects the extractor: vgg19 / resnet101 / minc
+    (ref networks.py define_F:316)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.losses.perceptual import PerceptualLoss
+
+    x, y = pair
+    x, y = jnp.asarray(x[:, :32, :32]), jnp.asarray(y[:, :32, :32])
+    for arch in ("resnet101", "minc"):
+        pl = PerceptualLoss(arch=arch, dtype=jnp.float32)
+        v = float(pl(x, y))
+        assert np.isfinite(v) and v >= 0.0, (arch, v)
+
+
+def test_generator_loss_feature_network_option(pair):
+    import jax
+    import jax.numpy as jnp
+
+    from trainner_tpu.losses.generator_loss import GeneratorLoss
+
+    x, y = pair
+    opt = {"is_train": True, "train": {
+        "feature_weight": 1.0, "feature_criterion": "l1",
+        "feature_network": "resnet101"}}
+    gl = GeneratorLoss(opt, device_dtype=jnp.float32)
+    total, logs = gl(jnp.asarray(x[:, :32, :32]),
+                     jnp.asarray(y[:, :32, :32]))
+    assert np.isfinite(float(total)) and "l_g_fea" in logs

@@ -109,6 +109,7 @@ def build_loss_list(train_opt: dict, allow_featnets: bool = True,
         layers = t.get("feature_layers") or {"conv5_4": 1.0}
         ploss = PerceptualLoss(
             layer_weights=layers, criterion=t["feature_criterion"],
+            arch=str(t.get("feature_network", "vgg19")),
             weights_path=vgg_weights_path, dtype=device_dtype)
         entries.append(LossEntry("l_g_fea", "fea", w("feature_weight"),
                                  ploss, precise=False))

@@ -48,22 +48,49 @@ class PerceptualLoss:
     dtype: Any = jnp.bfloat16
 
     def __post_init__(self):
-        self.layer_weights = {
-            canonical_layer(k): float(v) for k, v in self.layer_weights.items()}
-        self.model = VGGFeatures(
-            arch=self.arch, listen=tuple(self.layer_weights),
-            use_input_norm=self.use_input_norm, z_norm=self.z_norm,
-            dtype=self.dtype)
-        if self.weights_path:
-            self.variables = load_vgg_npz(self.weights_path)
-        else:
-            import jax.random as jr
+        import jax.random as jr
 
+        arch = (self.arch or "vgg19").lower()
+        self._single_tap = False
+        if arch.startswith("resnet"):
+            # ref networks.py define_F resnet101 branch (perceptual.py:220)
+            from ..models.perceptual import ResNet101Features
+
+            self.model = ResNet101Features(
+                use_input_norm=self.use_input_norm, z_norm=self.z_norm,
+                dtype=self.dtype)
+            self.layer_weights = {"feat": 1.0}
+            self._single_tap = True
             self.variables = self.model.init(
-                {"params": jr.PRNGKey(7)}, jnp.zeros((1, 32, 32, 3)))
+                jr.PRNGKey(7), jnp.zeros((1, 64, 64, 3)))
+        elif arch.startswith("minc"):
+            # ref networks.py define_F minc branch (MINCNet, perceptual.py:249)
+            from ..models.perceptual import MINCFeatures
+
+            self.model = MINCFeatures(dtype=self.dtype)
+            self.layer_weights = {"feat": 1.0}
+            self._single_tap = True
+            self.variables = self.model.init(
+                jr.PRNGKey(7), jnp.zeros((1, 64, 64, 3)))
+        else:
+            self.layer_weights = {
+                canonical_layer(k): float(v)
+                for k, v in self.layer_weights.items()}
+            self.model = VGGFeatures(
+                arch=arch, listen=tuple(self.layer_weights),
+                use_input_norm=self.use_input_norm, z_norm=self.z_norm,
+                dtype=self.dtype)
+            if self.weights_path:
+                self.variables = load_vgg_npz(self.weights_path)
+            else:
+                self.variables = self.model.init(
+                    {"params": jr.PRNGKey(7)}, jnp.zeros((1, 32, 32, 3)))
         self._crit = get_pixel_criterion(self.criterion)
 
     def features(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        if self._single_tap:
+            out = self.model.apply(self.variables, x, train=False)
+            return {"feat": out.astype(jnp.float32)}
         return self.model.apply(self.variables, x)
 
     def __call__(self, sr: jnp.ndarray, hr: jnp.ndarray) -> jnp.ndarray:
