@@ -53,3 +53,18 @@ def test_test_cli_vsr_video_gt():
           "network_G": {"type": "sr3d_net", "nf": 4, "n_frames": 3,
                         "scale": 2},
           "metrics": "psnr"}, "vsr_infer")
+
+
+def test_test_cli_x8_and_chop():
+    """x8 self-ensemble and chop/tile inference through the CLI
+    (ref sr_model.py test_x8:279, test_chop:319)."""
+    base = {"model": "sr", "scale": 2,
+            "datasets": {"test_1": {"name": "synth", "mode": "synthetic",
+                                    "scale": 2, "crop_size": 16,
+                                    "n_samples": 1, "batch_size": 1,
+                                    "n_workers": 0}},
+            "network_G": {"type": "sr_resnet", "nf": 8, "nb": 2,
+                          "upscale": 2},
+            "metrics": "psnr"}
+    _run(dict(base, self_ensemble=True), "sr_x8")
+    _run(dict(base, chop_forward=True), "sr_chop")
