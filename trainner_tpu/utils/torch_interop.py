@@ -65,14 +65,20 @@ def _esrgan_old_to_named(sd: Dict[str, np.ndarray]
             out[f"RRDB_trunk.{i}.{mid}.{leaf}"] = v
         elif (m := re.match(r"model\.1\.sub\.(\d+)\.(weight|bias)", k)):
             out["trunk_conv." + m.group(2)] = v
-        elif k.startswith("model.3."):
-            out["upconv1." + k.split(".", 2)[2]] = v
-        elif k.startswith("model.6."):
-            out["upconv2." + k.split(".", 2)[2]] = v
-        elif k.startswith("model.8."):
-            out["HRconv." + k.split(".", 2)[2]] = v
-        elif k.startswith("model.10."):
-            out["conv_last." + k.split(".", 2)[2]] = v
+    # post-trunk convs: Sequential indices differ between upconv and
+    # pixelshuffle tails (activations/Upsample/PixelShuffle layers are
+    # param-free and shift the numbering) — map by order instead: the
+    # last two param convs are HRconv and conv_last, everything between
+    # the trunk and those is upconv1..k (ref networks.py:446 mod2normal)
+    tail_idx = sorted({int(m.group(1)) for k in sd
+                       if (m := re.match(r"model\.(\d+)\.", k))
+                       and int(m.group(1)) >= 2})
+    names = [f"upconv{i + 1}" for i in range(len(tail_idx) - 2)] \
+        + ["HRconv", "conv_last"]
+    for idx, name in zip(tail_idx, names):
+        for k, v in sd.items():
+            if k.startswith(f"model.{idx}."):
+                out[f"{name}." + k.split(".", 2)[2]] = v
     return out
 
 
