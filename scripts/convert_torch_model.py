@@ -41,6 +41,17 @@ def convert_esrgan(src: str, dst: str) -> None:
     print(f"ESRGAN params -> {dst}")
 
 
+def convert_srresnet(src: str, dst: str) -> None:
+    from trainner_tpu.utils.checkpoint import save_params
+    from trainner_tpu.utils.torch_interop import (load_state_dict,
+                                                  srresnet_to_params)
+
+    sd = load_state_dict(src)
+    params = srresnet_to_params(sd)
+    save_params(params, dst, backup=False)
+    print(f"SRResNet params -> {dst}")
+
+
 def convert_vgg(src: str, dst: str) -> None:
     """torchvision vgg .pth ('features.N.weight') -> conv{b}_{c} npz."""
     from trainner_tpu.losses.lpips import LPIPS  # noqa: F401 (env check)
@@ -95,13 +106,16 @@ def export_esrgan(src: str, dst: str, nb: int) -> None:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("kind", choices=["esrgan", "vgg", "lpips", "export"])
+    p.add_argument("kind", choices=["esrgan", "srresnet", "vgg", "lpips",
+                                    "export"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--nb", type=int, default=23)
     args = p.parse_args()
     if args.kind == "esrgan":
         convert_esrgan(args.src, args.dst)
+    elif args.kind == "srresnet":
+        convert_srresnet(args.src, args.dst)
     elif args.kind == "vgg":
         convert_vgg(args.src, args.dst)
     elif args.kind == "lpips":

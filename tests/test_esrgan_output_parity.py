@@ -77,3 +77,39 @@ def test_esrgan_output_matches_reference_torch(upscale, upsample_mode):
     assert ours.shape == ref_out.shape
     err = np.abs(ours - ref_out).max()
     assert err < 1e-4, err
+
+
+def test_srresnet_output_matches_reference_torch():
+    """Published-layout SRResNet (noBN, pixelshuffle) through
+    srresnet_to_params reproduces the torch output (the layout of the
+    reference's pretrained PSNR-table models, ref docs/pretrained.md)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.srresnet import SRResNet as FlaxSRResNet
+    from trainner_tpu.utils.torch_interop import srresnet_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.SRResNet_arch as ref_arch
+
+    torch.manual_seed(1)
+    net = ref_arch.SRResNet(3, 3, 16, 4, upscale=4, norm_type=None,
+                            act_type="relu", mode="CNA",
+                            upsample_mode="pixelshuffle").eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(2).random((1, 3, 12, 12), np.float32)
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(x)).numpy()
+
+    params = srresnet_to_params(sd)
+    flax_net = FlaxSRResNet(nf=16, nb=4, upscale=4, norm_type=None,
+                            act_type="relu", mode="CNA",
+                            upsample_mode="pixelshuffle",
+                            dtype=jnp.float32)
+    ours = flax_net.apply({"params": params},
+                          jnp.asarray(x.transpose(0, 2, 3, 1)),
+                          train=False)
+    ours = np.asarray(ours).transpose(0, 3, 1, 2)
+    err = np.abs(ours - ref_out).max()
+    assert err < 1e-4, err

@@ -186,3 +186,60 @@ def params_to_esrgan(params: Dict, nb: int) -> Dict[str, np.ndarray]:
     emit("HRconv", params["HR_conv0"]["Conv_0"])
     emit("conv_last", params["HR_conv1"]["Conv_0"])
     return sd
+
+
+def srresnet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a (norm-free) SRResNet/SRGAN .pth state_dict (old 'model.N'
+    Sequential layout, ref SRResNet_arch.py:16 — the layout of the
+    published pretrained models, ref docs/pretrained.md:242-259) onto the
+    flax SRResNet param tree (models/srresnet.py naming):
+
+      model.0                -> fea_conv/Conv_0
+      model.1.sub.{i}.res.0  -> res{i}/conv0/Conv_0
+      model.1.sub.{i}.res.2  -> res{i}/conv1/Conv_0
+      model.1.sub.{nb}       -> LR_conv/Conv_0
+      post-trunk convs, by order -> up{k}/ConvBlock_0/Conv_0 ...,
+                                    HR_conv0, HR_conv1
+
+    BN-ful checkpoints (running_mean keys) are rejected — convert those
+    with norm handling offline or retrain without BN.
+    """
+    if any("running_mean" in k for k in sd):
+        raise ValueError("BN-ful SRResNet checkpoints are not supported "
+                         "by this converter (expected the published "
+                         "noBN layout)")
+    tree: Dict[str, Any] = {}
+
+    def put(path, leaf, value):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node["kernel" if leaf == "weight" else "bias"] = \
+            conv_to_hwio(value) if leaf == "weight" and value.ndim == 4 \
+            else value
+
+    trunk_ids = set()
+    for k, v in sd.items():
+        leaf = k.rsplit(".", 1)[-1]
+        if k.startswith("model.0."):
+            put(("fea_conv", "Conv_0"), leaf, v)
+        elif (m := re.match(r"model\.1\.sub\.(\d+)\.res\.(\d+)\.(weight|bias)",
+                            k)):
+            i, j = int(m.group(1)), int(m.group(2))
+            put((f"res{i}", "conv0" if j == 0 else "conv1", "Conv_0"),
+                m.group(3), v)
+            trunk_ids.add(i)
+        elif (m := re.match(r"model\.1\.sub\.(\d+)\.(weight|bias)", k)):
+            put(("LR_conv", "Conv_0"), m.group(2), v)
+    tail_idx = sorted({int(m.group(1)) for k in sd
+                       if (m := re.match(r"model\.(\d+)\.", k))
+                       and int(m.group(1)) >= 2})
+    names = [f"up{i}" for i in range(len(tail_idx) - 2)] \
+        + ["HR_conv0", "HR_conv1"]
+    for idx, name in zip(tail_idx, names):
+        sub = ("ConvBlock_0", "Conv_0") if name.startswith("up") \
+            else ("Conv_0",)
+        for k, v in sd.items():
+            if k.startswith(f"model.{idx}."):
+                put((name,) + sub, k.rsplit(".", 1)[-1], v)
+    return tree
