@@ -113,3 +113,39 @@ def test_srresnet_output_matches_reference_torch():
     ours = np.asarray(ours).transpose(0, 3, 1, 2)
     err = np.abs(ours - ref_out).max()
     assert err < 1e-4, err
+
+
+def test_discriminator_vgg_output_matches_reference_torch():
+    """Discriminator_VGG_128 .pth (features/classifier Sequential, ref
+    discriminators.py:149) through discriminator_vgg_to_params matches
+    our DiscriminatorVGG logits — D checkpoints resume too."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.discriminators import DiscriminatorVGG
+    from trainner_tpu.utils.torch_interop import discriminator_vgg_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.discriminators as ref_d
+
+    torch.manual_seed(2)
+    # ref Discriminator_VGG_128 hardcodes the classifier for base_nf=64
+    net = ref_d.Discriminator_VGG_128(3, 64).eval()
+    # randomize BN running stats so the mapping is actually exercised
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.uniform_(-0.3, 0.3)
+            mod.running_var.uniform_(0.5, 1.5)
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+
+    x = np.random.default_rng(3).random((2, 3, 128, 128), np.float32)
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(x)).numpy()
+
+    variables = discriminator_vgg_to_params(sd)
+    flax_net = DiscriminatorVGG(size=128, base_nf=64, dtype=jnp.float32)
+    ours = np.asarray(flax_net.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False))
+    err = np.abs(ours - ref_out).max()
+    assert err < 2e-4 * max(1.0, np.abs(ref_out).max()), (err, ref_out)

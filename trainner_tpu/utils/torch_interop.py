@@ -243,3 +243,56 @@ def srresnet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
             if k.startswith(f"model.{idx}."):
                 put((name,) + sub, k.rsplit(".", 1)[-1], v)
     return tree
+
+
+def discriminator_vgg_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a Discriminator_VGG_* .pth state_dict (ref
+    architectures/discriminators.py:54-308: 'features.N' conv/BN
+    Sequential + 'classifier.N' linears) onto the flax DiscriminatorVGG
+    variables {params, batch_stats} (models/discriminators.py naming:
+    conv{b}_{0|1} with BatchNorm on all but the first conv, then
+    linear0/linear1).
+
+    The first linear's kernel is re-permuted from torch's (C,H,W)
+    flattening to NHWC (H,W,C) flattening.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    conv_idx = sorted(int(k.split(".")[1]) for k, v in sd.items()
+                      if k.startswith("features.") and k.endswith(".weight")
+                      and v.ndim == 4)
+    bn_idx = sorted({int(k.split(".")[1]) for k in sd
+                     if k.startswith("features.")
+                     and k.endswith(".running_mean")})
+    names = []
+    for n in range(len(conv_idx)):
+        names.append(f"conv{n // 2}_{n % 2}")
+    for idx, name in zip(conv_idx, names):
+        node = params.setdefault(name, {})
+        node["Conv_0"] = {
+            "kernel": conv_to_hwio(sd[f"features.{idx}.weight"]),
+            "bias": sd[f"features.{idx}.bias"]}
+        if idx + 1 in bn_idx:
+            node["BatchNorm_0"] = {
+                "scale": sd[f"features.{idx + 1}.weight"],
+                "bias": sd[f"features.{idx + 1}.bias"]}
+            stats[name] = {"BatchNorm_0": {
+                "mean": sd[f"features.{idx + 1}.running_mean"],
+                "var": sd[f"features.{idx + 1}.running_var"]}}
+
+    lin_idx = sorted(int(k.split(".")[1]) for k in sd
+                     if k.startswith("classifier.")
+                     and k.endswith(".weight"))
+    # the conv stack halves the map five times; final channels = last conv
+    c_last = sd[f"features.{conv_idx[-1]}.weight"].shape[0]
+    for n, idx in enumerate(lin_idx):
+        w = sd[f"classifier.{idx}.weight"]
+        if n == 0:
+            out_f, in_f = w.shape
+            hw = int(np.sqrt(in_f // c_last))
+            w = w.reshape(out_f, c_last, hw, hw) \
+                 .transpose(0, 2, 3, 1).reshape(out_f, in_f)
+        params[f"linear{n}"] = {"kernel": w.T,
+                                "bias": sd[f"classifier.{idx}.bias"]}
+    return {"params": params, "batch_stats": stats}
