@@ -52,6 +52,17 @@ def convert_srresnet(src: str, dst: str) -> None:
     print(f"SRResNet params -> {dst}")
 
 
+def convert_discriminator(src: str, dst: str) -> None:
+    from trainner_tpu.utils.checkpoint import save_params
+    from trainner_tpu.utils.torch_interop import (
+        discriminator_vgg_to_params, load_state_dict)
+
+    sd = load_state_dict(src)
+    variables = discriminator_vgg_to_params(sd)
+    save_params(variables, dst, backup=False)
+    print(f"Discriminator variables (params+batch_stats) -> {dst}")
+
+
 def convert_vgg(src: str, dst: str) -> None:
     """torchvision vgg .pth ('features.N.weight') -> conv{b}_{c} npz."""
     from trainner_tpu.losses.lpips import LPIPS  # noqa: F401 (env check)
@@ -106,8 +117,8 @@ def export_esrgan(src: str, dst: str, nb: int) -> None:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("kind", choices=["esrgan", "srresnet", "vgg", "lpips",
-                                    "export"])
+    p.add_argument("kind", choices=["esrgan", "srresnet", "discriminator",
+                                    "vgg", "lpips", "export"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--nb", type=int, default=23)
@@ -116,6 +127,8 @@ def main():
         convert_esrgan(args.src, args.dst)
     elif args.kind == "srresnet":
         convert_srresnet(args.src, args.dst)
+    elif args.kind == "discriminator":
+        convert_discriminator(args.src, args.dst)
     elif args.kind == "vgg":
         convert_vgg(args.src, args.dst)
     elif args.kind == "lpips":
