@@ -63,6 +63,17 @@ def convert_discriminator(src: str, dst: str) -> None:
     print(f"Discriminator variables (params+batch_stats) -> {dst}")
 
 
+def convert_ppon(src: str, dst: str) -> None:
+    from trainner_tpu.utils.checkpoint import save_params
+    from trainner_tpu.utils.torch_interop import (load_state_dict,
+                                                  ppon_to_params)
+
+    sd = load_state_dict(src)
+    params = ppon_to_params(sd)
+    save_params(params, dst, backup=False)
+    print(f"PPON params -> {dst}")
+
+
 def convert_vgg(src: str, dst: str) -> None:
     """torchvision vgg .pth ('features.N.weight') -> conv{b}_{c} npz."""
     from trainner_tpu.losses.lpips import LPIPS  # noqa: F401 (env check)
@@ -118,7 +129,7 @@ def export_esrgan(src: str, dst: str, nb: int) -> None:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("kind", choices=["esrgan", "srresnet", "discriminator",
-                                    "vgg", "lpips", "export"])
+                                    "ppon", "vgg", "lpips", "export"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--nb", type=int, default=23)
@@ -129,6 +140,8 @@ def main():
         convert_srresnet(args.src, args.dst)
     elif args.kind == "discriminator":
         convert_discriminator(args.src, args.dst)
+    elif args.kind == "ppon":
+        convert_ppon(args.src, args.dst)
     elif args.kind == "vgg":
         convert_vgg(args.src, args.dst)
     elif args.kind == "lpips":

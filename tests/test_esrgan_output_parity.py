@@ -149,3 +149,35 @@ def test_discriminator_vgg_output_matches_reference_torch():
         variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False))
     err = np.abs(ours - ref_out).max()
     assert err < 2e-4 * max(1.0, np.abs(ref_out).max()), (err, ref_out)
+
+
+def test_ppon_outputs_match_reference_torch():
+    """PPON .pth (CFEM/CRM/SFEM/SRM/PFEM/PRM) through ppon_to_params
+    reproduces all three branch outputs (ref PPON_arch.py:18)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.ppon import PPON as FlaxPPON
+    from trainner_tpu.utils.torch_interop import ppon_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.PPON_arch as ref_arch
+
+    torch.manual_seed(3)
+    # ref RRBlock_32 hardcodes 64 channels, so nf must be 64
+    net = ref_arch.PPON(3, 64, 2, 3, upscale=4).eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(4).random((1, 3, 12, 12), np.float32)
+    with torch.no_grad():
+        ref_c, ref_s, ref_p = [t.numpy() for t in net(torch.from_numpy(x))]
+
+    params = ppon_to_params(sd)
+    flax_net = FlaxPPON(nf=64, nb=2, upscale=4, dtype=jnp.float32)
+    outs = flax_net.apply({"params": params},
+                          jnp.asarray(x.transpose(0, 2, 3, 1)),
+                          train=False)
+    for ours, ref in zip(outs, (ref_c, ref_s, ref_p)):
+        ours = np.asarray(ours).transpose(0, 3, 1, 2)
+        err = np.abs(ours - ref).max()
+        assert err < 1e-4, err

@@ -296,3 +296,52 @@ def discriminator_vgg_to_params(sd: Dict[str, np.ndarray]) -> Dict:
         params[f"linear{n}"] = {"kernel": w.T,
                                 "bias": sd[f"classifier.{idx}.bias"]}
     return {"params": params, "batch_stats": stats}
+
+
+def ppon_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a PPON .pth state_dict (ref PPON_arch.py:18: CFEM/CRM/SFEM/
+    SRM/PFEM/PRM Sequentials) onto the flax PPON param tree
+    (models/ppon.py naming: fea_conv, rb{i}, lr_conv / ssim{i} /
+    gan{i} branches + per-branch up/hr convs).
+
+    Inner residual-block leaf names (RB{r}.c1/d1../c2) match 1:1; the
+    reconstruction-module convs map by order: up_*0..k, hr0_*, hr1_*.
+    """
+    tree: Dict[str, Any] = {}
+
+    def put(path, leaf, v):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node["kernel" if leaf == "weight" else "bias"] = \
+            conv_to_hwio(v) if leaf == "weight" and v.ndim == 4 else v
+
+    fem_base = {"SFEM": "ssim", "PFEM": "gan"}
+    rm_branch = {"CRM": "c", "SRM": "s", "PRM": "p"}
+
+    for k, v in sd.items():
+        if k.startswith("CFEM.0."):
+            put(("fea_conv",), k.rsplit(".", 1)[-1], v)
+        elif (m := re.match(r"CFEM\.1\.sub\.(\d+)\.(RB\d)\.(\w+)"
+                            r"\.(weight|bias)", k)):
+            put((f"rb{m.group(1)}", m.group(2), m.group(3)),
+                m.group(4), v)
+        elif (m := re.match(r"CFEM\.1\.sub\.(\d+)\.(weight|bias)", k)):
+            put(("lr_conv",), m.group(2), v)
+        elif (m := re.match(r"(SFEM|PFEM)\.(\d+)\.(RB\d)\.(\w+)"
+                            r"\.(weight|bias)", k)):
+            put((f"{fem_base[m.group(1)]}{m.group(2)}", m.group(3),
+                 m.group(4)), m.group(5), v)
+
+    for rm, suffix in rm_branch.items():
+        idxs = sorted({int(m.group(1)) for k in sd
+                       if (m := re.match(rf"{rm}\.(\d+)\.", k))})
+        names = [f"up_{suffix}{i}" for i in range(len(idxs) - 2)] \
+            + [f"hr0_{suffix}", f"hr1_{suffix}"]
+        for idx, name in zip(idxs, names):
+            path = (name, "ConvBlock_0", "Conv_0") \
+                if name.startswith("up_") else (name,)
+            for k, v in sd.items():
+                if k.startswith(f"{rm}.{idx}."):
+                    put(path, k.rsplit(".", 1)[-1], v)
+    return tree
