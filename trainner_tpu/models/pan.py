@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import SelfAttentionBlock, interpolate, nearest_up
+from ..ops.blocks import (SelfAttentionBlock, bilinear_align_corners,
+                          interpolate, nearest_up)
 
 Dtype = Any
 
@@ -80,7 +81,11 @@ class SCPA(nn.Module):
 
 
 class PAUpconvBlock(nn.Module):
-    """upsample + conv + PA + lrelu + conv + lrelu (ref pa_upconv_block:11)."""
+    """upsample + conv + PA + lrelu + conv (ref pa_upconv_block:11; the
+    listed trailing activation is the SAME module instance passed twice,
+    which torch's Sequential registration deduplicates — the reference's
+    actual forward ends at HRconv, verified against its module children
+    and output parity)."""
 
     unf: int
     upscale_factor: int = 2
@@ -96,8 +101,7 @@ class PAUpconvBlock(nn.Module):
         x = _conv(self.unf, dtype=self.dtype, name="upconv")(x)
         x = PA(self.unf, dtype=self.dtype, name="att")(x)
         x = nn.leaky_relu(x, 0.2)
-        x = _conv(self.unf, dtype=self.dtype, name="hrconv")(x)
-        return nn.leaky_relu(x, 0.2)
+        return _conv(self.unf, dtype=self.dtype, name="hrconv")(x)
 
 
 class PAN(nn.Module):
@@ -145,7 +149,8 @@ class PAN(nn.Module):
         out = _conv(self.out_nc, dtype=self.dtype, name="conv_last")(fea)
 
         if self.scale > 1:
-            ilr = interpolate(x, scale=self.scale, mode="bilinear")
+            # ref PAN_arch.py:223 uses align_corners=True for the ILR skip
+            ilr = bilinear_align_corners(x, scale=self.scale)
         else:
             ilr = x
         return out + ilr.astype(out.dtype)

@@ -363,3 +363,36 @@ class MinibatchStdConcat(nn.Module):
             s = jnp.broadcast_to(jnp.mean(s, axis=-1, keepdims=True),
                                  (x.shape[0], x.shape[1], x.shape[2], 1))
         return jnp.concatenate([x, s.astype(x.dtype)], axis=-1)
+
+
+def bilinear_align_corners(x: jnp.ndarray, scale: float = None,
+                           size: Tuple[int, int] = None) -> jnp.ndarray:
+    """Bilinear resize with torch's align_corners=True convention
+    (corner pixels map to corner pixels; jax.image only offers the
+    half-pixel convention). Implemented as two 1-D gather-matmuls —
+    static weight matrices that XLA folds onto the MXU. Used where the
+    reference explicitly passes align_corners=True (e.g. PAN's ILR skip,
+    ref PAN_arch.py:223)."""
+    b, h, w, c = x.shape
+    if size is None:
+        size = (int(round(h * scale)), int(round(w * scale)))
+    oh, ow = size
+
+    def weights(n_out: int, n_in: int) -> jnp.ndarray:
+        if n_out == 1 or n_in == 1:
+            return jnp.ones((n_out, n_in), jnp.float32) / n_in
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) \
+            / (n_out - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+        hi = jnp.clip(lo + 1, 0, n_in - 1)
+        frac = pos - lo.astype(jnp.float32)
+        rows = jnp.arange(n_out)
+        wm = jnp.zeros((n_out, n_in), jnp.float32)
+        wm = wm.at[rows, lo].add(1.0 - frac)
+        wm = wm.at[rows, hi].add(frac)
+        return wm
+
+    wh = weights(oh, h).astype(x.dtype)
+    ww = weights(ow, w).astype(x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", wh, x)
+    return jnp.einsum("pw,bhwc->bhpc", ww, y)

@@ -345,3 +345,57 @@ def ppon_to_params(sd: Dict[str, np.ndarray]) -> Dict:
                 if k.startswith(f"{rm}.{idx}."):
                     put(path, k.rsplit(".", 1)[-1], v)
     return tree
+
+
+def pan_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a PAN .pth state_dict (ref PAN_arch.py:109: conv_first,
+    SCPA_trunk.N, trunk_conv, 'upsample' Sequential of
+    [upconv, PA(att.conv), hrconv] per level, conv_last) onto the flax
+    PAN tree (models/pan.py: scpa{i}, up{k}/{upconv,att/conv,hrconv})."""
+    tree: Dict[str, Any] = {}
+
+    def put(path, leaf, v):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node["kernel" if leaf == "weight" else "bias"] = \
+            conv_to_hwio(v) if leaf == "weight" and v.ndim == 4 else v
+
+    for k, v in sd.items():
+        leaf = k.rsplit(".", 1)[-1]
+        if k.startswith("conv_first."):
+            put(("conv_first",), leaf, v)
+        elif k.startswith("conv_last."):
+            put(("conv_last",), leaf, v)
+        elif k.startswith("trunk_conv."):
+            put(("trunk_conv",), leaf, v)
+        elif (m := re.match(r"SCPA_trunk\.(\d+)\.k1\.0\.(weight|bias)", k)):
+            put((f"scpa{m.group(1)}", "k1"), m.group(2), v)
+        elif (m := re.match(r"SCPA_trunk\.(\d+)\.PACnv\.(k\d)"
+                            r"\.(weight|bias)", k)):
+            put((f"scpa{m.group(1)}", "pacnv", m.group(2)), m.group(3), v)
+        elif (m := re.match(r"SCPA_trunk\.(\d+)\.(conv1_a|conv1_b|conv3)"
+                            r"\.(weight|bias)", k)):
+            put((f"scpa{m.group(1)}", m.group(2)), m.group(3), v)
+
+    # upsample Sequential: plain convs alternate upconv/hrconv per level;
+    # '.conv.' entries are the pixel-attention 1x1
+    ups = sorted({int(m.group(1)) for k in sd
+                  if (m := re.match(r"upsample\.(\d+)\.", k))})
+    level, expect_up = 0, True
+    for idx in ups:
+        is_att = any(k.startswith(f"upsample.{idx}.conv.") for k in sd)
+        if is_att:
+            name, sub = f"up{level}", ("att", "conv")
+        elif expect_up:
+            name, sub = f"up{level}", ("upconv",)
+            expect_up = False
+        else:
+            name, sub = f"up{level}", ("hrconv",)
+            expect_up = True
+            level += 1
+        prefix = f"upsample.{idx}.conv." if is_att else f"upsample.{idx}."
+        for k, v in sd.items():
+            if k.startswith(prefix):
+                put((name,) + sub, k.rsplit(".", 1)[-1], v)
+    return tree
