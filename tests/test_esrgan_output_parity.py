@@ -211,3 +211,36 @@ def test_pan_output_matches_reference_torch():
         train=False)).transpose(0, 3, 1, 2)
     err = np.abs(ours - ref_out).max()
     assert err < 1e-4, err
+
+
+def test_sftnet_output_matches_reference_torch():
+    """SFT_Net .pth through sftnet_to_params reproduces the torch output
+    (ref sft_arch.py:40)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.sft import SFTNet
+    from trainner_tpu.utils.torch_interop import sftnet_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.sft_arch as ref_arch
+
+    torch.manual_seed(5)
+    net = ref_arch.SFT_Net().eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    rng = np.random.default_rng(6)
+    x = rng.random((1, 3, 16, 16), np.float32)
+    seg = rng.random((1, 8, 64, 64), np.float32)
+    with torch.no_grad():
+        ref_out = net((torch.from_numpy(x),
+                       torch.from_numpy(seg))).numpy()
+
+    params = sftnet_to_params(sd)
+    flax_net = SFTNet(dtype=jnp.float32)
+    ours = np.asarray(flax_net.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(seg.transpose(0, 2, 3, 1)),
+        train=False)).transpose(0, 3, 1, 2)
+    err = np.abs(ours - ref_out).max()
+    assert err < 1e-4, err

@@ -399,3 +399,63 @@ def pan_to_params(sd: Dict[str, np.ndarray]) -> Dict:
             if k.startswith(prefix):
                 put((name,) + sub, k.rsplit(".", 1)[-1], v)
     return tree
+
+
+_SFT_LEAF = {"SFT_scale_conv0": "scale0", "SFT_scale_conv1": "scale1",
+             "SFT_shift_conv0": "shift0", "SFT_shift_conv1": "shift1"}
+
+
+def sftnet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map an SFT_Net .pth state_dict (ref sft_arch.py:40: conv0,
+    sft_branch 0..N-1 ResBlock_SFT + final SFTLayer + conv, HR_branch
+    Sequential, CondNet Sequential) onto the flax SFTNet tree
+    (models/sft.py: sft_block{i}, sft_final, conv_body, up{k}/hr{k},
+    cond{k})."""
+    tree: Dict[str, Any] = {}
+
+    def put(path, leaf, v):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node["kernel" if leaf == "weight" else "bias"] = \
+            conv_to_hwio(v) if leaf == "weight" and v.ndim == 4 else v
+
+    branch_idx = sorted({int(m.group(1)) for k in sd
+                         if (m := re.match(r"sft_branch\.(\d+)\.", k))})
+    final_sft, final_conv = branch_idx[-2], branch_idx[-1]
+
+    for k, v in sd.items():
+        leaf = k.rsplit(".", 1)[-1]
+        if k.startswith("conv0."):
+            put(("conv0",), leaf, v)
+        elif (m := re.match(r"sft_branch\.(\d+)\.(sft\d)\.(\w+)"
+                            r"\.(weight|bias)", k)):
+            put((f"sft_block{m.group(1)}", m.group(2),
+                 _SFT_LEAF[m.group(3)]), m.group(4), v)
+        elif (m := re.match(r"sft_branch\.(\d+)\.(conv\d)"
+                            r"\.(weight|bias)", k)):
+            put((f"sft_block{m.group(1)}", m.group(2)), m.group(3), v)
+        elif (m := re.match(rf"sft_branch\.{final_sft}\.(\w+)"
+                            r"\.(weight|bias)", k)):
+            put(("sft_final", _SFT_LEAF[m.group(1)]), m.group(2), v)
+        elif (m := re.match(rf"sft_branch\.{final_conv}"
+                            r"\.(weight|bias)", k)):
+            put(("conv_body",), m.group(1), v)
+
+    # HR_branch Sequential: [upconv, shuffle?, act, ...] — convs by order:
+    # up0, up1, ..., hr0, hr1 (last two)
+    hr_idx = sorted({int(m.group(1)) for k in sd
+                     if (m := re.match(r"HR_branch\.(\d+)\.", k))})
+    names = [f"up{i}" for i in range(len(hr_idx) - 2)] + ["hr0", "hr1"]
+    for idx, name in zip(hr_idx, names):
+        for k, v in sd.items():
+            if k.startswith(f"HR_branch.{idx}."):
+                put((name,), k.rsplit(".", 1)[-1], v)
+
+    cond_idx = sorted({int(m.group(1)) for k in sd
+                       if (m := re.match(r"CondNet\.(\d+)\.", k))})
+    for n, idx in enumerate(cond_idx):
+        for k, v in sd.items():
+            if k.startswith(f"CondNet.{idx}."):
+                put((f"cond{n}",), k.rsplit(".", 1)[-1], v)
+    return tree
