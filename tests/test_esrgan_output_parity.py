@@ -244,3 +244,33 @@ def test_sftnet_output_matches_reference_torch():
         train=False)).transpose(0, 3, 1, 2)
     err = np.abs(ours - ref_out).max()
     assert err < 1e-4, err
+
+
+def test_resnet_generator_output_matches_reference_torch():
+    """CycleGAN ResnetGenerator (instance norm) .pth through
+    resnet_g_to_params reproduces the torch output (ref ResNet_arch.py:11)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.resnet_g import ResnetGenerator
+    from trainner_tpu.utils.torch_interop import resnet_g_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.ResNet_arch as ref_arch
+
+    torch.manual_seed(6)
+    net = ref_arch.ResnetGenerator(3, 3, 16, norm_type="instance",
+                                   n_blocks=2).eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(7).random((1, 3, 32, 32), np.float32)
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(x)).numpy()
+
+    params = resnet_g_to_params(sd)
+    flax_net = ResnetGenerator(ngf=16, n_blocks=2, dtype=jnp.float32)
+    ours = np.asarray(flax_net.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False)).transpose(0, 3, 1, 2)
+    err = np.abs(ours - ref_out).max()
+    assert err < 1e-4, err

@@ -15,7 +15,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import interpolate
+from ..ops.blocks import TorchDeconv, interpolate
 
 Dtype = Any
 
@@ -113,10 +113,10 @@ class ResnetGenerator(nn.Module):
             mult = 2 ** (n_down - i)
             out_f = ngf * mult // 2
             if self.upsample_mode == "deconv":
-                x = nn.ConvTranspose(out_f, (3, 3), strides=(2, 2),
-                                     padding="SAME", use_bias=use_bias,
-                                     dtype=self.dtype,
-                                     param_dtype=jnp.float32)(x)
+                # torch-exact deconv so .pth weights interop bit-for-bit
+                x = TorchDeconv(out_f, 3, 2, 1, 1, use_bias=use_bias,
+                                dtype=self.dtype,
+                                name=f"ConvTranspose_{i}")(x)
             else:
                 x = interpolate(x, scale=2, mode="nearest")
                 x = nn.Conv(out_f, (3, 3), padding=1, use_bias=use_bias,

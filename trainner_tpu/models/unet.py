@@ -17,7 +17,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import interpolate
+from ..ops.blocks import TorchDeconv, interpolate
 
 Dtype = Any
 
@@ -68,9 +68,9 @@ class _Up(nn.Module):
         x = nn.relu(x)
         use_bias = self.norm_type in ("IN", "instance") or not self.use_norm
         if self.upsample_mode == "deconv":
-            x = nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
-                                 padding="SAME", use_bias=use_bias,
-                                 dtype=self.dtype, param_dtype=jnp.float32)(x)
+            # torch-exact ConvTranspose2d(4, s2, p1) for .pth interop
+            x = TorchDeconv(self.features, 4, 2, 1, 0, use_bias=use_bias,
+                            dtype=self.dtype, name="ConvTranspose_0")(x)
         else:  # upconv: nearest-up + 3x3 conv (ref block.upconv_block)
             x = interpolate(x, scale=2, mode="nearest")
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=use_bias,

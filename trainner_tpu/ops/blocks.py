@@ -396,3 +396,41 @@ def bilinear_align_corners(x: jnp.ndarray, scale: float = None,
     ww = weights(ow, w).astype(x.dtype)
     y = jnp.einsum("oh,bhwc->bowc", wh, x)
     return jnp.einsum("pw,bhwc->bhpc", ww, y)
+
+
+class TorchDeconv(nn.Module):
+    """ConvTranspose2d with torch's exact semantics (stride s, padding p,
+    output_padding op): dilate-by-s + pad (k-1-p, k-1-p+op) + correlate
+    with the spatially-flipped kernel. flax's nn.ConvTranspose places its
+    SAME padding differently, which breaks .pth weight interop — this
+    module is verified output-exact against torch (test_esrgan_output_
+    parity.py). Kernel stored (kh, kw, in, out) like the transposed torch
+    layout."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_c = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, in_c, self.features), jnp.float32)
+        kf = kernel[::-1, ::-1].astype(self.dtype)
+        pad = k - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kf, (1, 1),
+            padding=((pad, pad + self.output_padding),) * 2,
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y

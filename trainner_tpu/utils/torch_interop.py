@@ -459,3 +459,57 @@ def sftnet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
             if k.startswith(f"CondNet.{idx}."):
                 put((f"cond{n}",), k.rsplit(".", 1)[-1], v)
     return tree
+
+
+def resnet_g_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a CycleGAN ResnetGenerator .pth (instance-norm variant, ref
+    ResNet_arch.py:11 / junyanz pytorch-CycleGAN layout) onto the flax
+    ResnetGenerator tree (models/resnet_g.py): stem conv, 2 downsamples,
+    block{i} conv pairs, 2 ConvTranspose upsamples, final conv.
+
+    ConvTranspose kernels: torch stores (in, out, kh, kw) and computes
+    the adjoint of a correlation; flax/lax conv_transpose with
+    transpose_kernel=False expects (kh, kw, in, out) unflipped — mapped
+    accordingly (verified by output parity)."""
+    if any("running_mean" in k for k in sd):
+        raise ValueError("batch-norm ResnetGenerator checkpoints are not "
+                         "supported (use the instance-norm variant)")
+    tree: Dict[str, Any] = {}
+
+    def put(name, leaf, v, deconv=False):
+        node = tree.setdefault(name, {}) if "/" not in name else None
+        if "/" in name:
+            a, b = name.split("/")
+            node = tree.setdefault(a, {}).setdefault(b, {})
+        if leaf == "weight":
+            node["kernel"] = v.transpose(2, 3, 0, 1) if deconv \
+                else conv_to_hwio(v)
+        else:
+            node["bias"] = v
+
+    blocks = sorted({int(m.group(1)) for k in sd
+                     if (m := re.match(r"model\.(\d+)\.conv_block\.", k))})
+    plain = sorted({int(m.group(1)) for k in sd
+                    if (m := re.match(r"model\.(\d+)\.(weight|bias)$", k))})
+    n_plain = len(plain)
+    # plain convs: 1 stem + D downsamples + D deconvs + 1 final
+    d = (n_plain - 2) // 2
+    names = (["Conv_0"] + [f"Conv_{i + 1}" for i in range(d)]
+             + [f"ConvTranspose_{i}" for i in range(d)]
+             + [f"Conv_{d + 1}"])
+    for idx, name in zip(plain, names):
+        deconv = name.startswith("ConvTranspose")
+        for leaf in ("weight", "bias"):
+            k = f"model.{idx}.{leaf}"
+            if k in sd:
+                put(name, leaf, sd[k], deconv)
+    for n, idx in enumerate(blocks):
+        convs = sorted({int(m.group(1)) for k in sd
+                        if (m := re.match(rf"model\.{idx}\.conv_block"
+                                          r"\.(\d+)\.", k))})
+        for c, cidx in enumerate(convs):
+            for leaf in ("weight", "bias"):
+                k = f"model.{idx}.conv_block.{cidx}.{leaf}"
+                if k in sd:
+                    put(f"block{n}/Conv_{c}", leaf, sd[k])
+    return tree
