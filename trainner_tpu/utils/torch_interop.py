@@ -52,9 +52,6 @@ def _esrgan_old_to_named(sd: Dict[str, np.ndarray]
     """Normalize old Sequential keys to the 'new' named layout
     (the mod2normal direction, ref networks.py:446)."""
     out = {}
-    nb = 1 + max((int(m.group(1)) for k in sd
-                  if (m := re.match(r"model\.1\.sub\.(\d+)\.RDB", k))),
-                 default=0)
     for k, v in sd.items():
         if k.startswith("model.0."):
             out["conv_first." + k.split(".", 2)[2]] = v
@@ -218,7 +215,6 @@ def srresnet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
             conv_to_hwio(value) if leaf == "weight" and value.ndim == 4 \
             else value
 
-    trunk_ids = set()
     for k, v in sd.items():
         leaf = k.rsplit(".", 1)[-1]
         if k.startswith("model.0."):
@@ -228,7 +224,6 @@ def srresnet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
             i, j = int(m.group(1)), int(m.group(2))
             put((f"res{i}", "conv0" if j == 0 else "conv1", "Conv_0"),
                 m.group(3), v)
-            trunk_ids.add(i)
         elif (m := re.match(r"model\.1\.sub\.(\d+)\.(weight|bias)", k)):
             put(("LR_conv", "Conv_0"), m.group(2), v)
     tail_idx = sorted({int(m.group(1)) for k in sd
