@@ -74,6 +74,17 @@ def convert_ppon(src: str, dst: str) -> None:
     print(f"PPON params -> {dst}")
 
 
+def convert_sofvsr(src: str, dst: str) -> None:
+    from trainner_tpu.utils.checkpoint import save_params
+    from trainner_tpu.utils.torch_interop import (load_state_dict,
+                                                  sofvsr_to_params)
+
+    sd = load_state_dict(src)
+    params = sofvsr_to_params(sd)
+    save_params(params, dst, backup=False)
+    print(f"SOFVSR params -> {dst}")
+
+
 def convert_vgg(src: str, dst: str) -> None:
     """torchvision vgg .pth ('features.N.weight') -> conv{b}_{c} npz."""
     from trainner_tpu.losses.lpips import LPIPS  # noqa: F401 (env check)
@@ -129,7 +140,8 @@ def export_esrgan(src: str, dst: str, nb: int) -> None:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("kind", choices=["esrgan", "srresnet", "discriminator",
-                                    "ppon", "vgg", "lpips", "export"])
+                                    "ppon", "pan", "resnet_g", "sftnet",
+                                    "sofvsr", "vgg", "lpips", "export"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--nb", type=int, default=23)
@@ -142,6 +154,16 @@ def main():
         convert_discriminator(args.src, args.dst)
     elif args.kind == "ppon":
         convert_ppon(args.src, args.dst)
+    elif args.kind in ("pan", "resnet_g", "sftnet", "sofvsr"):
+        from trainner_tpu.utils import torch_interop as ti
+        from trainner_tpu.utils.checkpoint import save_params
+        from trainner_tpu.utils.torch_interop import load_state_dict
+
+        fn = {"pan": ti.pan_to_params, "resnet_g": ti.resnet_g_to_params,
+              "sftnet": ti.sftnet_to_params,
+              "sofvsr": ti.sofvsr_to_params}[args.kind]
+        save_params(fn(load_state_dict(args.src)), args.dst, backup=False)
+        print(f"{args.kind} params -> {args.dst}")
     elif args.kind == "vgg":
         convert_vgg(args.src, args.dst)
     elif args.kind == "lpips":

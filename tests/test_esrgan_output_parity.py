@@ -274,3 +274,44 @@ def test_resnet_generator_output_matches_reference_torch():
         train=False)).transpose(0, 3, 1, 2)
     err = np.abs(ours - ref_out).max()
     assert err < 1e-4, err
+
+
+def test_sofvsr_output_matches_reference_torch():
+    """SOFVSR .pth (Y-mode, the reference's supported configuration)
+    through sofvsr_to_params reproduces SR output and all flow levels
+    (ref SOFVSR_arch.py:20)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.sofvsr import SOFVSR
+    from trainner_tpu.utils.torch_interop import sofvsr_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.SOFVSR_arch as ref_arch
+
+    # the reference OFRnet hardcodes .cuda() (SOFVSR_arch.py:155);
+    # neutralize it for the CPU run
+    monkey_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.manual_seed(7)
+    net = ref_arch.SOFVSR(scale=4, n_frames=3).eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(8).random((1, 3, 1, 16, 16), np.float32)
+    with torch.no_grad():
+        f1, f2, f3, sr_ref = net(torch.from_numpy(x))
+
+    params = sofvsr_to_params(sd)
+    flax_net = SOFVSR(scale=4, n_frames=3, channels=320, img_ch=1,
+                      dtype=jnp.float32)
+    xj = jnp.asarray(x.transpose(0, 1, 3, 4, 2))  # b,t,c,h,w -> b,t,h,w,c
+    o1, o2, o3, sr = flax_net.apply({"params": params}, xj)
+    err = np.abs(np.asarray(sr).transpose(0, 3, 1, 2)
+                 - sr_ref.numpy()).max()
+    assert err < 2e-4, err
+    # flow level 3 (HR flows), first neighbor
+    ours_f3 = np.asarray(o3[0]).transpose(0, 3, 1, 2)
+    ref_f3 = (f3[0] if isinstance(f3, (list, tuple)) else f3).numpy()
+    ref_f3 = ref_f3.reshape(1, 2, 64, 64)
+    assert np.abs(ours_f3 - ref_f3).max() < 2e-4
+    torch.Tensor.cuda = monkey_cuda

@@ -508,3 +508,51 @@ def resnet_g_to_params(sd: Dict[str, np.ndarray]) -> Dict:
                 if k in sd:
                     put(f"block{n}/Conv_{c}", leaf, sd[k])
     return tree
+
+
+def sofvsr_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a SOFVSR .pth state_dict (ref SOFVSR_arch.py:20: OFR RNN1/
+    RNN2/SR + SR net, CasResB bodies of depthwise ResBs) onto the flax
+    SOFVSR tree (models/sofvsr.py). Depthwise (C,1,k,k) kernels map to
+    flax (k,k,1,C) like plain convs."""
+    tree: Dict[str, Any] = {}
+
+    def put(path, leaf, v):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node["kernel" if leaf == "weight" else "bias"] = \
+            conv_to_hwio(v) if leaf == "weight" and v.ndim == 4 else v
+
+    _RESB = {"0": "c1", "2": "dw", "3": "c2"}
+    # flat tails: Sequential index -> (module path)
+    direct = {
+        "OFR.RNN1.0": ("OFR", "rnn1_conv"),
+        "OFR.RNN2.0": ("OFR", "rnn2"),
+        "OFR.SR.1": ("OFR", "sr_head", "ps0"),
+        "OFR.SR.4": ("OFR", "sr_head", "ps1"),
+        "OFR.SR.7": ("OFR", "sr_head", "out"),
+        "SR.body.0": ("SR", "head"),
+        "SR.body.3": ("SR", "tail", "ps0"),
+        "SR.body.6": ("SR", "tail", "ps1"),
+        "SR.body.9": ("SR", "tail", "out"),
+    }
+    body_maps = [
+        (re.compile(r"OFR\.RNN1\.2\.body\.(\d+)\.body\.(\d)"
+                    r"\.(weight|bias)"), ("OFR", "rnn1_body")),
+        (re.compile(r"OFR\.SR\.0\.body\.(\d+)\.body\.(\d)"
+                    r"\.(weight|bias)"), ("OFR", "sr_body")),
+        (re.compile(r"SR\.body\.2\.body\.(\d+)\.body\.(\d)"
+                    r"\.(weight|bias)"), ("SR", "body")),
+    ]
+    for k, v in sd.items():
+        prefix, leaf = k.rsplit(".", 1)
+        if prefix in direct:
+            put(direct[prefix], leaf, v)
+            continue
+        for rx, base in body_maps:
+            if (m := rx.fullmatch(k)):
+                put(base + (f"resb{m.group(1)}", _RESB[m.group(2)]),
+                    m.group(3), v)
+                break
+    return tree
