@@ -315,3 +315,34 @@ def test_sofvsr_output_matches_reference_torch():
     ref_f3 = ref_f3.reshape(1, 2, 64, 64)
     assert np.abs(ours_f3 - ref_f3).max() < 2e-4
     torch.Tensor.cuda = monkey_cuda
+
+
+@pytest.mark.parametrize("mode", ["pt", "tf"])
+def test_wbc_unet_output_matches_reference_torch(mode):
+    """UnetGeneratorWBC .pth (white-box cartoonization, both the torch
+    and the TF-parity upsample modes) through named_to_params reproduces
+    the torch output (ref WBCNet_arch.py:24)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.wbcunet import UnetGeneratorWBC
+    from trainner_tpu.utils.torch_interop import named_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.WBCNet_arch as ref_arch
+
+    torch.manual_seed(8)
+    net = ref_arch.UnetGeneratorWBC(nf=32, mode=mode).eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(9).random((1, 3, 32, 32), np.float32)
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(x)).numpy()
+
+    params = named_to_params(sd)
+    flax_net = UnetGeneratorWBC(nf=32, mode=mode, dtype=jnp.float32)
+    ours = np.asarray(flax_net.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False)).transpose(0, 3, 1, 2)
+    err = np.abs(ours - ref_out).max()
+    assert err < 1e-4, err

@@ -17,7 +17,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import interpolate
+from ..ops.blocks import bilinear_torch, interpolate
 
 Dtype = Any
 
@@ -79,17 +79,17 @@ class UnetGeneratorWBC(nn.Module):
         lrelu = lambda v: nn.leaky_relu(v, self.slope)
         tf = self.mode == "tf"
         up = tf_2x_bilinear if tf else \
-            (lambda v: interpolate(v, scale=2, mode="bilinear"))
+            (lambda v: bilinear_torch(v, scale=2))
 
         x0 = lrelu(_conv(nf, 7, dtype=self.dtype, name="conv")(x))
 
         h = tf_same_padding(x0) if tf else x0
-        x1 = lrelu(_conv(nf, 3, 2, "VALID" if tf else "SAME",
+        x1 = lrelu(_conv(nf, 3, 2, "VALID" if tf else 1,
                          dtype=self.dtype, name="conv_1")(h))
         x1 = lrelu(_conv(nf * 2, dtype=self.dtype, name="conv_2")(x1))
 
         h = tf_same_padding(x1) if tf else x1
-        x2 = lrelu(_conv(nf * 2, 3, 2, "VALID" if tf else "SAME",
+        x2 = lrelu(_conv(nf * 2, 3, 2, "VALID" if tf else 1,
                          dtype=self.dtype, name="conv_3")(h))
         x2 = lrelu(_conv(nf * 4, dtype=self.dtype, name="conv_4")(x2))
 

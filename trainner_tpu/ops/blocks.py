@@ -434,3 +434,33 @@ class TorchDeconv(nn.Module):
                               (self.features,), jnp.float32)
             y = y + bias.astype(y.dtype)
         return y
+
+
+def bilinear_torch(x: jnp.ndarray, scale: float = None,
+                   size: Tuple[int, int] = None) -> jnp.ndarray:
+    """Bilinear resize matching torch F.interpolate(mode='bilinear',
+    align_corners=False) exactly (half-pixel source coords with edge
+    clamping, no antialiasing) — jax.image.resize differs at the borders.
+    Two static 1-D gather-matmuls, MXU-friendly."""
+    b, h, w, c = x.shape
+    if size is None:
+        size = (int(round(h * scale)), int(round(w * scale)))
+    oh, ow = size
+
+    def weights(n_out: int, n_in: int) -> jnp.ndarray:
+        pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) \
+            * (n_in / n_out) - 0.5
+        pos = jnp.clip(pos, 0.0, n_in - 1.0)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+        hi = jnp.clip(lo + 1, 0, n_in - 1)
+        frac = pos - lo.astype(jnp.float32)
+        rows = jnp.arange(n_out)
+        wm = jnp.zeros((n_out, n_in), jnp.float32)
+        wm = wm.at[rows, lo].add(1.0 - frac)
+        wm = wm.at[rows, hi].add(frac)
+        return wm
+
+    wh = weights(oh, h).astype(x.dtype)
+    ww = weights(ow, w).astype(x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", wh, x)
+    return jnp.einsum("pw,bhwc->bhpc", ww, y)

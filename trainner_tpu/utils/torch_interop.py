@@ -556,3 +556,21 @@ def sofvsr_to_params(sd: Dict[str, np.ndarray]) -> Dict:
                     m.group(3), v)
                 break
     return tree
+
+
+def named_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Generic converter for nets whose torch module names match our
+    flax module names 1:1 (e.g. UnetGeneratorWBC, ref WBCNet_arch.py:24):
+    'a.b.weight' -> tree[a][b]['kernel'] (OIHW->HWIO), bias passthrough,
+    2-D weights transposed."""
+    tree: Dict[str, Any] = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if parts[-1] == "weight":
+            node["kernel"] = conv_to_hwio(v) if v.ndim == 4 else v.T
+        else:
+            node["bias"] = v
+    return tree
