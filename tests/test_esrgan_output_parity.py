@@ -346,3 +346,33 @@ def test_wbc_unet_output_matches_reference_torch(mode):
         train=False)).transpose(0, 3, 1, 2)
     err = np.abs(ours - ref_out).max()
     assert err < 1e-4, err
+
+
+def test_dvdnet_outputs_match_reference_torch():
+    """DVDNet .pth through dvdnet_to_params reproduces both deinterlaced
+    fields (ref DVDNet_arch.py:37)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.dvd import DVDNet
+    from trainner_tpu.utils.torch_interop import dvdnet_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.DVDNet_arch as ref_arch
+
+    torch.manual_seed(9)
+    net = ref_arch.DVDNet().eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(10).random((1, 3, 16, 16), np.float32)
+    with torch.no_grad():
+        ref_y, ref_z = [t.numpy() for t in net(torch.from_numpy(x))]
+
+    params = dvdnet_to_params(sd)
+    flax_net = DVDNet(dtype=jnp.float32)
+    y, z = flax_net.apply({"params": params},
+                          jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for ours, ref in ((y, ref_y), (z, ref_z)):
+        ours = np.asarray(ours).transpose(0, 3, 1, 2)
+        err = np.abs(ours - ref).max()
+        assert err < 1e-4, err

@@ -574,3 +574,25 @@ def named_to_params(sd: Dict[str, np.ndarray]) -> Dict:
         else:
             node["bias"] = v
     return tree
+
+
+def dvdnet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a DVDNet .pth (ref DVDNet_arch.py:37: shared feature Sequential
+    nested in model_y/model_z + per-field branch/final convs) onto the
+    flax DVDNet tree (models/dvd.py)."""
+    mapping = {
+        "model_y.0.0.0": "fea1", "model_y.0.1.0": "fea2",
+        "model_y.0.2": "fea3",
+        "model_y.1": "branch_top", "model_y.2": "final_top",
+        "model_z.1": "branch_bottom", "model_z.2": "final_bottom",
+    }
+    tree: Dict[str, Any] = {}
+    for k, v in sd.items():
+        prefix, leaf = k.rsplit(".", 1)
+        name = mapping.get(prefix)
+        if name is None:
+            continue  # model_z.0.* duplicates the shared feature trunk
+        node = tree.setdefault(name, {})
+        node["kernel" if leaf == "weight" else "bias"] = \
+            conv_to_hwio(v) if leaf == "weight" and v.ndim == 4 else v
+    return tree
