@@ -376,3 +376,32 @@ def test_dvdnet_outputs_match_reference_torch():
         ours = np.asarray(ours).transpose(0, 3, 1, 2)
         err = np.abs(ours - ref).max()
         assert err < 1e-4, err
+
+
+def test_aan_output_matches_reference_torch():
+    """A2N/AAN .pth through aan_to_params reproduces the torch output
+    (ref PAN_arch.py:323)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.pan import AAN
+    from trainner_tpu.utils.torch_interop import aan_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.PAN_arch as ref_arch
+
+    torch.manual_seed(10)
+    net = ref_arch.AAN(3, 3, 16, 8, 2, scale=4).eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(11).random((1, 3, 12, 12), np.float32)
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(x)).numpy()
+
+    params = aan_to_params(sd)
+    flax_net = AAN(nf=16, unf=8, nb=2, scale=4, dtype=jnp.float32)
+    ours = np.asarray(flax_net.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False)).transpose(0, 3, 1, 2)
+    err = np.abs(ours - ref_out).max()
+    assert err < 1e-4, err

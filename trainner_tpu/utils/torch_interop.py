@@ -596,3 +596,38 @@ def dvdnet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
         node["kernel" if leaf == "weight" else "bias"] = \
             conv_to_hwio(v) if leaf == "weight" and v.ndim == 4 else v
     return tree
+
+
+def aan_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map an A2N/AAN .pth (ref PAN_arch.py:323: AAB trunk with attention
+    dropout module + PA upsample) onto the flax AAN tree
+    (models/pan.py AAN)."""
+    rename = {"ADM.0": "adm1", "ADM.2": "adm2"}
+    top = {"conv_first": "conv_first", "trunk_conv": "trunk_conv",
+           "upconv1": "upconv1", "upconv2": "upconv2",
+           "HRconv1": "hrconv1", "HRconv2": "hrconv2",
+           "conv_last": "conv_last"}
+    tree: Dict[str, Any] = {}
+
+    def put(path, leaf, v):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        if leaf == "weight":
+            node["kernel"] = conv_to_hwio(v) if v.ndim == 4 else v.T
+        else:
+            node["bias"] = v
+
+    for k, v in sd.items():
+        leaf = k.rsplit(".", 1)[-1]
+        if (m := re.match(r"AAB_trunk\.(\d+)\.(.+)\.(weight|bias)", k)):
+            inner = rename.get(m.group(2), m.group(2))
+            put((f"aab{m.group(1)}",) + tuple(inner.split(".")),
+                m.group(3), v)
+        elif (m := re.match(r"att(\d)\.conv\.(weight|bias)", k)):
+            put((f"att{m.group(1)}", "conv"), m.group(2), v)
+        else:
+            name = top.get(k.rsplit(".", 1)[0])
+            if name:
+                put((name,), leaf, v)
+    return tree
