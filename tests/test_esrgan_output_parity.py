@@ -405,3 +405,40 @@ def test_aan_output_matches_reference_torch():
         train=False)).transpose(0, 3, 1, 2)
     err = np.abs(ours - ref_out).max()
     assert err < 1e-4, err
+
+
+def test_sr3dnet_output_matches_reference_torch():
+    """SR3DNet .pth through named_to_params (tied conv_c) reproduces the
+    torch output incl. the a=-0.75 bicubic skip (ref SR3DNet_arch.py:8)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.sr3d import SR3DNet
+    from trainner_tpu.utils.torch_interop import named_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.SR3DNet_arch as ref_arch
+
+    torch.manual_seed(11)
+    net = ref_arch.SR3DNet(nf=8, scale=4, n_frames=5).eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(12).random((1, 3, 5, 12, 12), np.float32)
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(x)).numpy()
+
+    # torch Conv3d weights are (O, I, D, H, W) -> flax (D, H, W, I, O)
+    sd = {k: (v.transpose(2, 3, 4, 1, 0) if v.ndim == 5 else v)
+          for k, v in sd.items()}
+    params = {}
+    for k, v in sd.items():
+        name, leaf = k.split(".")
+        params.setdefault(name, {})[
+            "kernel" if leaf == "weight" else "bias"] = v
+
+    flax_net = SR3DNet(nf=8, scale=4, n_frames=5, dtype=jnp.float32)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 4, 1))  # b,c,t,h,w -> b,t,h,w,c
+    ours = np.asarray(flax_net.apply({"params": params}, xj))
+    ours = ours.transpose(0, 3, 1, 2)
+    err = np.abs(ours - ref_out).max()
+    assert err < 2e-4, err

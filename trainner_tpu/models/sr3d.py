@@ -17,7 +17,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import depth_to_space, interpolate, space_to_depth
+from ..ops.blocks import (bicubic_torch, depth_to_space,
+                          space_to_depth)
 
 Dtype = Any
 
@@ -48,26 +49,29 @@ class SR3DNet(nn.Module):
             return nn.Conv(f, (3, 3, 3), padding=pad, dtype=self.dtype,
                            param_dtype=jnp.float32, name=name)
 
-        # dense residual 3D conv stack (temporal SAME padding)
+        # dense residual 3D conv stack; conv_c is ONE conv applied three
+        # times with tied weights (ref SR3DNet_arch.py:44-47)
+        conv_c = conv3d(feats, 1, "conv_c")
         conv1 = lrelu(conv3d(feats, 1, "conv_input")(x))
-        conv2 = lrelu(conv3d(feats, 1, "conv_c1")(conv1)) + conv1
-        conv3 = lrelu(conv3d(feats, 1, "conv_c2")(conv2)) + conv1 + conv2
-        conv4 = lrelu(conv3d(feats, 1, "conv_c3")(conv3)) + conv1 + conv2 \
-            + conv3
+        conv2 = lrelu(conv_c(conv1)) + conv1
+        conv3 = lrelu(conv_c(conv2)) + conv1 + conv2
+        conv4 = lrelu(conv_c(conv3)) + conv1 + conv2 + conv3
 
-        # temporal VALID convs collapse the frame axis to 1
+        # temporal-VALID convs collapse the frame axis: conv_c2 (tied,
+        # applied as needed: n=5 once, n=7 twice, ...) then scalec
+        # (ref pads [0,1,1] on both, :30-31)
+        tpad = [(0, 0), (1, 1), (1, 1)]
         h4 = conv4
-        i = 0
+        conv_c2 = conv3d(feats, tpad, "conv_c2")
         while h4.shape[1] > 3:
-            h4 = lrelu(conv3d(feats, [(0, 0), (1, 1), (1, 1)],
-                              f"conv_t{i}")(h4))
-            i += 1
-        out = lrelu(conv3d(self.out_nc * self.scale ** 2,
-                           [(0, 0), (1, 1), (1, 1)], "scalec")(h4))
+            h4 = lrelu(conv_c2(h4))
+        out = lrelu(conv3d(self.out_nc * self.scale ** 2, tpad,
+                           "scalec")(h4))
         out = out[:, out.shape[1] // 2]  # (b, h, w, out_nc*scale^2)
 
         # bicubic center frame, folded to LR grid via space_to_depth
-        bic = interpolate(x[:, center], scale=self.scale, mode="bicubic")
+        # torch-convention bicubic (a=-0.75), ref :60 align_corners=False
+        bic = bicubic_torch(x[:, center], scale=self.scale)
         bic = space_to_depth(bic, self.scale)
 
         return depth_to_space(out + bic.astype(out.dtype), self.scale)

@@ -464,3 +464,40 @@ def bilinear_torch(x: jnp.ndarray, scale: float = None,
     ww = weights(ow, w).astype(x.dtype)
     y = jnp.einsum("oh,bhwc->bowc", wh, x)
     return jnp.einsum("pw,bhwc->bhpc", ww, y)
+
+
+def bicubic_torch(x: jnp.ndarray, scale: float = None,
+                  size: Tuple[int, int] = None) -> jnp.ndarray:
+    """Bicubic resize matching torch F.interpolate(mode='bicubic',
+    align_corners=False): half-pixel coords, cubic-convolution kernel
+    with a = -0.75 (jax.image's CUBIC uses a = -0.5), edge clamping.
+    Separable static gather-matmuls."""
+    b, h, w, c = x.shape
+    if size is None:
+        size = (int(round(h * scale)), int(round(w * scale)))
+    oh, ow = size
+    a = -0.75
+
+    def cubic(t):
+        at = jnp.abs(t)
+        w1 = ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0
+        w2 = (((at - 5.0) * at + 8.0) * at - 4.0) * a
+        return jnp.where(at <= 1.0, w1,
+                         jnp.where(at < 2.0, w2, 0.0))
+
+    def weights(n_out: int, n_in: int) -> jnp.ndarray:
+        pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) \
+            * (n_in / n_out) - 0.5
+        base = jnp.floor(pos).astype(jnp.int32)
+        wm = jnp.zeros((n_out, n_in), jnp.float32)
+        rows = jnp.arange(n_out)
+        for k in range(-1, 3):
+            idx = jnp.clip(base + k, 0, n_in - 1)
+            wm = wm.at[rows, idx].add(
+                cubic(pos - (base + k).astype(jnp.float32)))
+        return wm
+
+    wh = weights(oh, h).astype(x.dtype)
+    ww = weights(ow, w).astype(x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", wh, x)
+    return jnp.einsum("pw,bhwc->bhpc", ww, y)
