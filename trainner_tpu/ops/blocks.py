@@ -218,7 +218,12 @@ class ConvBlock(nn.Module):
                 return nn.LayerNorm(dtype=self.dtype)
             raise NotImplementedError(f"norm [{self.norm_type}] not found")
 
-        a = act(self.act_type)
+        if self.act_type and self.act_type.lower() == "prelu":
+            # real learned-slope PReLU (torch nn.PReLU, scalar parameter);
+            # the table entry is a static approximation for plain-fn sites
+            a = nn.PReLU()
+        else:
+            a = act(self.act_type)
         if self.mode in ("CNA", "CNAC"):
             if not partial:
                 x = explicit_pad(x, pad, self.pad_type)
