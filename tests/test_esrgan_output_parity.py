@@ -442,3 +442,34 @@ def test_sr3dnet_output_matches_reference_torch():
     ours = ours.transpose(0, 3, 1, 2)
     err = np.abs(ours - ref_out).max()
     assert err < 2e-4, err
+
+
+def test_unet_generator_output_matches_reference_torch():
+    """pix2pix UnetGenerator (instance norm) .pth through unet_to_params
+    reproduces the torch output (ref UNet_arch.py:11)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.unet import UnetGenerator
+    from trainner_tpu.utils.torch_interop import unet_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.UNet_arch as ref_arch
+
+    torch.manual_seed(12)
+    net = ref_arch.UnetGenerator(3, 3, 5, 64,
+                                 norm_type="instance").eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(13).random((1, 3, 32, 32), np.float32)
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(x)).numpy()
+
+    params = unet_to_params(sd)
+    flax_net = UnetGenerator(num_downs=5, ngf=64, norm_type="instance",
+                             dtype=jnp.float32)
+    ours = np.asarray(flax_net.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False)).transpose(0, 3, 1, 2)
+    err = np.abs(ours - ref_out).max()
+    assert err < 1e-4, err

@@ -39,7 +39,8 @@ class _Norm(nn.Module):
                                 dtype=self.dtype,
                                 param_dtype=jnp.float32)(x)
         if self.norm_type in ("IN", "instance"):
-            return nn.GroupNorm(num_groups=x.shape[-1], use_bias=False,
+            return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5,
+                                use_bias=False,
                                 use_scale=False, dtype=self.dtype)(x)
         raise NameError(f"Unknown norm layer {self.norm_type}")
 

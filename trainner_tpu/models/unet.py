@@ -27,7 +27,8 @@ def _norm(norm_type: Optional[str], dtype, train: bool):
         return nn.BatchNorm(use_running_average=not train, dtype=dtype,
                             param_dtype=jnp.float32)
     if norm_type in ("IN", "instance"):
-        return lambda x: nn.GroupNorm(num_groups=x.shape[-1], use_bias=False,
+        return lambda x: nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5,
+                                use_bias=False,
                                       use_scale=False, dtype=dtype)(x)
     raise NameError(f"Unknown norm layer {norm_type}")
 
@@ -111,7 +112,11 @@ class UnetGenerator(nn.Module):
                       use_norm=not innermost and i > 0,
                       dtype=self.dtype, name=f"down{i}")(x, train)
             if not innermost:
-                skips.append(x)
+                # the reference's downrelu is INPLACE (UNet_arch.py:35) and
+                # runs before torch.cat reads x, so the skip that actually
+                # reaches the decoder is lrelu(x), not x (verified by
+                # output parity vs the torch network)
+                skips.append(nn.leaky_relu(x, 0.2))
 
         # decoder
         for i in reversed(range(len(feats))):

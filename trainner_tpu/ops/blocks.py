@@ -212,7 +212,8 @@ class ConvBlock(nn.Module):
                 return nn.BatchNorm(use_running_average=not train,
                                     dtype=self.dtype, param_dtype=jnp.float32)
             if nt == "instance":
-                return nn.GroupNorm(num_groups=n_features, use_bias=False,
+                return nn.GroupNorm(num_groups=n_features, epsilon=1e-5,
+                                    use_bias=False,
                                     use_scale=False, dtype=self.dtype)
             if nt == "layer":
                 return nn.LayerNorm(dtype=self.dtype)

@@ -631,3 +631,43 @@ def aan_to_params(sd: Dict[str, np.ndarray]) -> Dict:
             if name:
                 put((name,), leaf, v)
     return tree
+
+
+def unet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a pix2pix UnetGenerator .pth (junyanz recursive
+    UnetSkipConnectionBlock layout, ref UNet_arch.py:11, instance-norm
+    variant) onto the flax UnetGenerator tree (models/unet.py:
+    down{i}/Conv_0, up{i}/ConvTranspose_0)."""
+    if any("running_mean" in k for k in sd):
+        raise ValueError("batch-norm UNet checkpoints are not supported "
+                         "(use the instance-norm variant)")
+    # depth of the recursion = longest chain of '.model.' segments
+    depth = max(k.count("model") for k in sd) - 1
+
+    def chain(d: int) -> str:
+        if d == 0:
+            return "model.model."
+        return "model.model.1.model." + "3.model." * (d - 1)
+
+    tree: Dict[str, Any] = {}
+
+    def put(name, sub, leaf, v, deconv=False):
+        node = tree.setdefault(name, {}).setdefault(sub, {})
+        if leaf == "weight":
+            node["kernel"] = v.transpose(2, 3, 0, 1) if deconv \
+                else conv_to_hwio(v)
+        else:
+            node["bias"] = v
+
+    for d in range(depth):
+        innermost = d == depth - 1
+        down_key = chain(d) + ("0" if d == 0 else "1")
+        up_key = "model.model.3" if d == 0 else \
+            (chain(d) + ("3" if innermost else "5"))
+        for leaf in ("weight", "bias"):
+            if f"{down_key}.{leaf}" in sd:
+                put(f"down{d}", "Conv_0", leaf, sd[f"{down_key}.{leaf}"])
+            if f"{up_key}.{leaf}" in sd:
+                put(f"up{d}", "ConvTranspose_0", leaf,
+                    sd[f"{up_key}.{leaf}"], deconv=True)
+    return tree
