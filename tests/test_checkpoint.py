@@ -92,3 +92,37 @@ def test_save_checkpoint_artifacts(tmp_path):
     for a, b in zip(jax.tree.leaves(params),
                     jax.tree.leaves(state.g.params)):
         assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """Opt-in orbax backend (multi-host-safe per-shard writes) roundtrips
+    a TrainState."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+    import numpy as np
+
+    from trainner_tpu.train.sr_trainer import SRTrainer
+    from trainner_tpu.utils.checkpoint import (load_state_orbax,
+                                               save_state_orbax)
+
+    opt = {"is_train": True, "scale": 2,
+           "network_G": {"type": "sr_resnet", "nf": 8, "nb": 2,
+                         "upscale": 2},
+           "train": {"lr_G": 1e-4, "niter": 100, "pixel_criterion": "l1",
+                     "pixel_weight": 1.0, "lr_scheme": "MultiStepLR",
+                     "lr_steps": [50]}}
+    tr = SRTrainer(opt)
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    rng = np.random.default_rng(0)
+    batch = {"LR": rng.random((2, 8, 8, 3), np.float32),
+             "HR": rng.random((2, 16, 16, 3), np.float32)}
+    state, _ = tr.train_step(state, batch)
+    save_state_orbax(state, str(tmp_path / "orbax"), 1)
+    restored = load_state_orbax(str(tmp_path / "orbax"), 1, state)
+    a = jax.tree.leaves(state.g.params)[0]
+    b = jax.tree.leaves(restored.g.params)[0]
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    # training continues identically from the restored state
+    s1, l1 = tr.train_step(state, batch)
+    s2, l2 = tr.train_step(restored, batch)
+    assert np.allclose(float(l1["l_g_total"]), float(l2["l_g_total"]))
