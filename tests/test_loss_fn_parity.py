@@ -242,3 +242,32 @@ def test_ssim_msssim_parity(ref_loss):
     ref_ms_s = ref_ssim.ms_ssim(xt[..., :16, :16], yt[..., :16, :16],
                                 win=win, data_range=1.0)
     _close(ms_ssim(xs, ys), ref_ms_s, tol=1e-3)
+
+
+def test_guided_filter_matches_reference():
+    """Guided filter parity vs ref dataops/filters.py guided_filter:789
+    (the WBC surface representation + CEM post-filter)."""
+    import importlib.util
+
+    import jax.numpy as jnp
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision()
+    spec = importlib.util.spec_from_file_location(
+        "ref_filters", os.path.join(REF, "dataops/filters.py"))
+    rf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rf)
+
+    from trainner_tpu.ops.filters import guided_filter
+
+    rng = np.random.default_rng(14)
+    x = rng.random((2, 3, 24, 24), np.float32)
+    y = np.clip(x + rng.normal(scale=0.1, size=x.shape), 0,
+                1).astype(np.float32)
+    for r in (1, 2, 5):
+        ref = rf.guided_filter(_t(x), _t(y), r=r, eps=1e-2).numpy()
+        ours = np.asarray(guided_filter(
+            _j(x), _j(y), radius=r, eps=1e-2)).transpose(0, 3, 1, 2)
+        err = np.abs(ref - ours).max()
+        assert err < 1e-4, (r, err)

@@ -209,7 +209,8 @@ def _box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """Box filter of radius r via two 1D convs (sum, then normalize)."""
     size = 2 * r + 1
     k = np.ones((size,), np.float32) / size
-    return separable_filter2d(x, k, pad_mode="edge")
+    # reflect padding matches ref filter2D:545 (border_type='reflect')
+    return separable_filter2d(x, k, pad_mode="reflect")
 
 
 def guided_filter(guide: jnp.ndarray, src: jnp.ndarray, radius: int = 1,
