@@ -271,3 +271,32 @@ def test_guided_filter_matches_reference():
             _j(x), _j(y), radius=r, eps=1e-2)).transpose(0, 3, 1, 2)
         err = np.abs(ref - ours).max()
         assert err < 1e-4, (r, err)
+
+
+def test_filter_low_high_match_reference():
+    """Frequency-separation filters parity (ref FilterLow:643 /
+    FilterHigh:674 — zero padding, sigma=ks/6, denorm normalize)."""
+    import importlib.util
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision()
+    spec = importlib.util.spec_from_file_location(
+        "ref_filters2", os.path.join(REF, "dataops/filters.py"))
+    rf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rf)
+
+    from trainner_tpu.ops.filters import filter_high, filter_low
+
+    x = np.random.default_rng(15).random((2, 3, 24, 24), np.float32)
+    xt, xj = _t(x), _j(x)
+    for ftype in ("average", "gaussian"):
+        ref_lo = rf.FilterLow(kernel_size=9, filter_type=None if
+                              ftype == "average" else "gaussian")(xt)
+        ours_lo = np.asarray(filter_low(xj, 9, filter_type=ftype)
+                             ).transpose(0, 3, 1, 2)
+        assert np.abs(ref_lo.detach().numpy() - ours_lo).max() < 1e-4, ftype
+        ref_hi = rf.FilterHigh(kernel_size=9, filter_type=ftype)(xt)
+        ours_hi = np.asarray(filter_high(xj, 9, filter_type=ftype)
+                             ).transpose(0, 3, 1, 2)
+        assert np.abs(ref_hi.detach().numpy() - ours_hi).max() < 1e-4, ftype

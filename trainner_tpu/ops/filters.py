@@ -176,27 +176,29 @@ def separable_filter2d(x: jnp.ndarray, k1d: jnp.ndarray,
         feature_group_count=c)
 
 
-def filter_low(x: jnp.ndarray, kernel_size: int = 9, sigma: Optional[float] = None,
+def filter_low(x: jnp.ndarray, kernel_size: int = 9,
+               sigma: Optional[float] = None,
                filter_type: str = "gaussian") -> jnp.ndarray:
-    """Low-pass filter (ref filters.py FilterLow:643). average|gaussian."""
+    """Low-pass filter (ref filters.py FilterLow:643): 'average' is
+    AvgPool2d with zero padding counted in (count_include_pad=True);
+    'gaussian' is a zero-padded conv with sigma = kernel_size/6
+    (ref get_kernel_sigma:27). Parity-tested vs the reference."""
     if filter_type in ("average", "box"):
-        return filter2d(x, box_kernel(kernel_size))
-    sigma = sigma or kernel_size / 3.0
-    return separable_filter2d(x, gaussian_kernel_1d(kernel_size, sigma))
+        return filter2d(x, box_kernel(kernel_size), pad_mode="constant")
+    sigma = sigma or kernel_size / 6.0
+    return separable_filter2d(x, gaussian_kernel_1d(kernel_size, sigma),
+                              pad_mode="constant")
 
 
 def filter_high(x: jnp.ndarray, kernel_size: int = 9,
                 sigma: Optional[float] = None,
                 filter_type: str = "gaussian",
                 normalize: bool = True) -> jnp.ndarray:
-    """High-pass = x - lowpass(x), optionally renormalized to [0,1]
-    (ref filters.py FilterHigh:674)."""
+    """High-pass = x - lowpass(x); normalize maps the signed residual to
+    [0,1] via denorm ((hf+1)/2, ref FilterHigh:714 + common.denorm)."""
     hf = x - filter_low(x, kernel_size, sigma, filter_type)
     if normalize:
-        # shift to [0,1]-ish like ref's normalization for visualization use
-        hf = hf - hf.min(axis=(1, 2, 3), keepdims=True)
-        denom = hf.max(axis=(1, 2, 3), keepdims=True)
-        hf = hf / jnp.maximum(denom, 1e-8)
+        hf = (hf + 1.0) / 2.0
     return hf
 
 
