@@ -300,3 +300,27 @@ def test_filter_low_high_match_reference():
         ours_hi = np.asarray(filter_high(xj, 9, filter_type=ftype)
                              ).transpose(0, 3, 1, 2)
         assert np.abs(ref_hi.detach().numpy() - ours_hi).max() < 1e-4, ftype
+
+
+def test_grid_sample_matches_torch():
+    """Bilinear grid_sample parity vs torch.nn.functional.grid_sample
+    (underpins flow warping, DCN, AdaTarget, geometry augs)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.ops.warp import grid_sample
+
+    rng = np.random.default_rng(16)
+    x = rng.random((2, 3, 10, 12), np.float32)
+    grid = (rng.random((2, 7, 9, 2), np.float32) * 2.4 - 1.2)  # some OOB
+    xt = _t(x)
+    gt = _t(grid)
+    for ac in (True, False):
+        for pad in ("border", "zeros"):
+            ref = torch.nn.functional.grid_sample(
+                xt, gt, mode="bilinear", padding_mode=pad,
+                align_corners=ac).numpy()
+            ours = np.asarray(grid_sample(
+                _j(x), jnp.asarray(grid), align_corners=ac,
+                padding_mode=pad)).transpose(0, 3, 1, 2)
+            err = np.abs(ref - ours).max()
+            assert err < 1e-5, (ac, pad, err)

@@ -56,14 +56,22 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray,
     v01 = gather(y0i, x1i)
     v10 = gather(y1i, x0i)
     v11 = gather(y1i, x1i)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    out = top * (1 - wy) + bot * wy
 
     if padding_mode == "zeros":
-        inb = ((fx >= 0) & (fx <= w - 1) & (fy >= 0) & (fy <= h - 1))
-        out = out * inb[..., None].astype(out.dtype)
-    return out
+        # torch semantics: each of the 4 taps outside the image
+        # contributes zero individually (partial sums at the boundary)
+        def tap_mask(yy, xx):
+            m = (xx >= 0) & (xx <= w - 1) & (yy >= 0) & (yy <= h - 1)
+            return m[..., None].astype(image.dtype)
+
+        v00 = v00 * tap_mask(y0, x0)
+        v01 = v01 * tap_mask(y0, x0 + 1)
+        v10 = v10 * tap_mask(y0 + 1, x0)
+        v11 = v11 * tap_mask(y0 + 1, x0 + 1)
+
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
 
 
 def flow_warp_vsr(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
