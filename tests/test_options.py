@@ -177,3 +177,16 @@ def test_presets_inline_override():
     assert tr["blur_prob2"] == 0.5
     assert tr["aug_configs"]["iso"]["sigmaX"] == [0.3, 2.0]
     assert tr["aug_configs"]["iso"]["kernel_size"] == 21  # from preset
+
+
+def test_train_realesrgan_template_parses():
+    """BASELINE config 3 (blind-SR preset training) template parses and
+    resolves the resrgan preset overlay."""
+    from trainner_tpu.options import parse
+
+    opt = parse("options/sr/train_realesrgan.yml", is_train=True)
+    ds = opt["datasets"]["train"]
+    assert ds.get("augs_strategy") == "resrgan"
+    # overlay resolved: pipeline/aug configs materialized on the dataset
+    assert ds.get("aug_configs") or ds.get("lr_blur_types") \
+        or ds.get("aug_params") or ds.get("pipeline")

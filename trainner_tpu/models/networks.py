@@ -280,7 +280,7 @@ def define_D(opt: dict, dtype=jnp.bfloat16):
             act_type=cfg.get("act_type", "leakyrelu"),
             mode=cfg.get("mode", "CNA"), arch=cfg.get("arch", "ESRGAN"),
             spectral_norm=sn, dtype=dtype)
-    if kind == "patchgan":
+    if kind in ("patchgan", "nlayerdiscriminator"):
         return NLayerDiscriminator(
             ndf=cfg.get("ndf", 64), n_layers=cfg.get("n_layers", 3),
             norm_type=cfg.get("norm_type", "batch"),
@@ -292,7 +292,7 @@ def define_D(opt: dict, dtype=jnp.bfloat16):
             ndf=cfg.get("ndf", 64), n_layers=cfg.get("n_layers", 3),
             norm_type=cfg.get("norm_type", "batch"),
             num_D=cfg.get("num_D", 3), dtype=dtype)
-    if kind == "pixelgan":
+    if kind in ("pixelgan", "pixeldiscriminator"):
         return PixelDiscriminator(ndf=cfg.get("ndf", 64),
                                   norm_type=cfg.get("norm_type", "batch"),
                                   dtype=dtype)
