@@ -127,3 +127,22 @@ def test_cli_wbc():
                     "lr_scheme": "MultiStepLR", "lr_steps": [100]},
           "logger": {"print_freq": 2, "save_checkpoint_freq": 4,
                      "tensorboard": False}}, "wbc")
+
+
+def test_cli_blind_sr_presets():
+    """BASELINE config 3: blind-SR training with the resrgan preset
+    overlay driving the on-device degradation pipeline."""
+    _run({"model": "sr", "scale": 2, "use_amp": False,
+          "datasets": {"train": {"mode": "synthetic", "scale": 2,
+                                 "crop_size": 32, "n_samples": 4,
+                                 "batch_size": 2, "n_workers": 0,
+                                 "augs_strategy": "resrgan"}},
+          "network_G": {"type": "rrdb_net", "nf": 8, "nb": 1, "gc": 4,
+                        "upscale": 2},
+          "network_D": {"type": "unet", "nf": 8},
+          "train": {"lr_G": 1e-4, "lr_D": 1e-4, "niter": 4,
+                    "pixel_criterion": "l1", "pixel_weight": 1.0,
+                    "gan_type": "vanilla", "gan_weight": 5e-3,
+                    "lr_scheme": "MultiStepLR", "lr_steps": [100]},
+          "logger": {"print_freq": 2, "save_checkpoint_freq": 4,
+                     "tensorboard": False}}, "blind_sr")

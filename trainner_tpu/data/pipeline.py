@@ -72,10 +72,18 @@ def _collect(opt: dict, keys) -> Dict[str, dict]:
         prob = opt.get(prob_key) if prob_key else None
         if prob is None:
             prob = 1.0
-        out[aug] = {"prob": float(prob),
-                    "types": list(types) if isinstance(
-                        types, (list, tuple)) else
-                    ([types] if types else [])}
+        weights = None
+        if isinstance(types, dict):
+            # weighted-choice form {type: weight} (ref
+            # get_weighted_choice:1417, used by the strategy presets)
+            names, ws = zip(*types.items()) if types else ((), ())
+            types, weights = list(names), [float(w) for w in ws]
+        elif isinstance(types, (list, tuple)):
+            types = list(types)
+        else:
+            types = [types] if types else []
+        out[aug] = {"prob": float(prob), "types": types,
+                    "weights": weights}
     return out
 
 
@@ -117,8 +125,8 @@ def _with_prob(fn: Callable, prob: float) -> Callable:
 
 
 def _blur_stage(types: Sequence[str], cfgs: Dict[str, dict],
-                prob: float) -> Callable:
-    types = [t.lower() for t in types] or ["gaussian"]
+                prob: float, weights=None) -> Callable:
+    types = [str(t).lower() for t in types] or ["gaussian"]
 
     def fn(rng, x):
         b = x.shape[0]
@@ -151,15 +159,16 @@ def _blur_stage(types: Sequence[str], cfgs: Dict[str, dict],
                               ((kmax - kk.shape[-1]) // 2,) * 2,
                               ((kmax - kk.shape[-1]) // 2,) * 2])
                  for kk in banks]
-        kern = D.select_kernels(rngs[-1], banks)
+        kern = D.select_kernels(rngs[-1], banks, weights=weights)
         return D.apply_kernels(x, kern)
 
     return _with_prob(fn, prob)
 
 
 def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
-                 prob: float) -> Callable:
-    """Per-sample choice among noise types (one-hot mixture)."""
+                 prob: float, weights=None) -> Callable:
+    """Per-sample choice among noise types (one-hot mixture, optionally
+    weighted — ref get_weighted_choice:1417)."""
     raw = [str(t).lower() for t in types] or ["gaussian"]
     types = [t if (t in _DEVICE_NOISE or "dither" in t or "quantize" in t)
              else "gaussian" for t in raw]
@@ -233,7 +242,13 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
             return ops[0](rngs[0], x)
         cands = jnp.stack([op(r, x) for op, r in zip(ops, rngs[:-1])],
                           axis=1)
-        choice = jax.random.randint(rngs[-1], (b,), 0, len(ops))
+        if weights is not None:
+            pw = jnp.asarray(weights, jnp.float32)
+            pw = pw / pw.sum()
+            choice = jax.random.categorical(
+                rngs[-1], jnp.log(pw + 1e-12)[None].repeat(b, 0))
+        else:
+            choice = jax.random.randint(rngs[-1], (b,), 0, len(ops))
         onehot = jax.nn.one_hot(choice, len(ops),
                                 dtype=x.dtype)[:, :, None, None, None]
         return jnp.sum(cands * onehot, axis=1)
@@ -316,7 +331,8 @@ class BatchDegrader:
             conf = p[name]
             if name in ("blur", "blur2"):
                 stages.append((name, _blur_stage(
-                    conf["types"], cfgs, conf["prob"])))
+                    conf["types"], cfgs, conf["prob"],
+                    weights=conf.get("weights"))))
             elif name in ("noise", "noise2", "compression"):
                 types = conf["types"] or (["jpeg"]
                                           if name == "compression" else [])
@@ -330,8 +346,9 @@ class BatchDegrader:
                         apply_noise_patches(rng, x, bank),
                         conf["prob"])))
                 else:
-                    stages.append((name, _noise_stage(types, cfgs,
-                                                      conf["prob"])))
+                    stages.append((name, _noise_stage(
+                        types, cfgs, conf["prob"],
+                        weights=conf.get("weights"))))
             elif name in ("resize", "resize2"):
                 if kind != "lr":
                     continue
