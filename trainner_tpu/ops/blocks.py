@@ -371,39 +371,6 @@ class MinibatchStdConcat(nn.Module):
         return jnp.concatenate([x, s.astype(x.dtype)], axis=-1)
 
 
-def bilinear_align_corners(x: jnp.ndarray, scale: float = None,
-                           size: Tuple[int, int] = None) -> jnp.ndarray:
-    """Bilinear resize with torch's align_corners=True convention
-    (corner pixels map to corner pixels; jax.image only offers the
-    half-pixel convention). Implemented as two 1-D gather-matmuls —
-    static weight matrices that XLA folds onto the MXU. Used where the
-    reference explicitly passes align_corners=True (e.g. PAN's ILR skip,
-    ref PAN_arch.py:223)."""
-    b, h, w, c = x.shape
-    if size is None:
-        size = (int(round(h * scale)), int(round(w * scale)))
-    oh, ow = size
-
-    def weights(n_out: int, n_in: int) -> jnp.ndarray:
-        if n_out == 1 or n_in == 1:
-            return jnp.ones((n_out, n_in), jnp.float32) / n_in
-        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) \
-            / (n_out - 1)
-        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
-        hi = jnp.clip(lo + 1, 0, n_in - 1)
-        frac = pos - lo.astype(jnp.float32)
-        rows = jnp.arange(n_out)
-        wm = jnp.zeros((n_out, n_in), jnp.float32)
-        wm = wm.at[rows, lo].add(1.0 - frac)
-        wm = wm.at[rows, hi].add(frac)
-        return wm
-
-    wh = weights(oh, h).astype(x.dtype)
-    ww = weights(ow, w).astype(x.dtype)
-    y = jnp.einsum("oh,bhwc->bowc", wh, x)
-    return jnp.einsum("pw,bhwc->bhpc", ww, y)
-
-
 class TorchDeconv(nn.Module):
     """ConvTranspose2d with torch's exact semantics (stride s, padding p,
     output_padding op): dilate-by-s + pad (k-1-p, k-1-p+op) + correlate
@@ -442,46 +409,78 @@ class TorchDeconv(nn.Module):
         return y
 
 
+def _separable_resize(x: jnp.ndarray, size, weight_fn) -> jnp.ndarray:
+    """Resize via two static 1-D gather-matmul weight matrices (one per
+    spatial axis) built by `weight_fn(n_out, n_in)` — XLA folds the
+    constant matrices onto the MXU. Shared engine for the torch-exact
+    resize conventions below."""
+    oh, ow = size
+    wh = weight_fn(oh, x.shape[1]).astype(x.dtype)
+    ww = weight_fn(ow, x.shape[2]).astype(x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", wh, x)
+    return jnp.einsum("pw,bhwc->bhpc", ww, y)
+
+
+def _resolve_size(x, scale, size):
+    if size is None:
+        size = (int(round(x.shape[1] * scale)),
+                int(round(x.shape[2] * scale)))
+    return size
+
+
+def _linear_weights(pos: jnp.ndarray, n_out: int,
+                    n_in: int) -> jnp.ndarray:
+    """2-tap linear weight matrix from precomputed source positions."""
+    pos = jnp.clip(pos, 0.0, n_in - 1.0)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+    hi = jnp.clip(lo + 1, 0, n_in - 1)
+    frac = pos - lo.astype(jnp.float32)
+    rows = jnp.arange(n_out)
+    wm = jnp.zeros((n_out, n_in), jnp.float32)
+    wm = wm.at[rows, lo].add(1.0 - frac)
+    wm = wm.at[rows, hi].add(frac)
+    return wm
+
+
+def bilinear_align_corners(x: jnp.ndarray, scale: float = None,
+                           size: Tuple[int, int] = None) -> jnp.ndarray:
+    """Bilinear resize with torch's align_corners=True convention
+    (corner pixels map to corner pixels; jax.image only offers the
+    half-pixel convention). Used where the reference explicitly passes
+    align_corners=True (e.g. PAN's ILR skip, ref PAN_arch.py:223)."""
+    size = _resolve_size(x, scale, size)
+
+    def weights(n_out, n_in):
+        if n_out == 1 or n_in == 1:
+            return jnp.ones((n_out, n_in), jnp.float32) / n_in
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) \
+            / (n_out - 1)
+        return _linear_weights(pos, n_out, n_in)
+
+    return _separable_resize(x, size, weights)
+
+
 def bilinear_torch(x: jnp.ndarray, scale: float = None,
                    size: Tuple[int, int] = None) -> jnp.ndarray:
     """Bilinear resize matching torch F.interpolate(mode='bilinear',
-    align_corners=False) exactly (half-pixel source coords with edge
-    clamping, no antialiasing) — jax.image.resize differs at the borders.
-    Two static 1-D gather-matmuls, MXU-friendly."""
-    b, h, w, c = x.shape
-    if size is None:
-        size = (int(round(h * scale)), int(round(w * scale)))
-    oh, ow = size
+    align_corners=False) exactly (half-pixel coords, edge clamping, no
+    antialiasing) — jax.image.resize differs at the borders."""
+    size = _resolve_size(x, scale, size)
 
-    def weights(n_out: int, n_in: int) -> jnp.ndarray:
+    def weights(n_out, n_in):
         pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) \
             * (n_in / n_out) - 0.5
-        pos = jnp.clip(pos, 0.0, n_in - 1.0)
-        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
-        hi = jnp.clip(lo + 1, 0, n_in - 1)
-        frac = pos - lo.astype(jnp.float32)
-        rows = jnp.arange(n_out)
-        wm = jnp.zeros((n_out, n_in), jnp.float32)
-        wm = wm.at[rows, lo].add(1.0 - frac)
-        wm = wm.at[rows, hi].add(frac)
-        return wm
+        return _linear_weights(pos, n_out, n_in)
 
-    wh = weights(oh, h).astype(x.dtype)
-    ww = weights(ow, w).astype(x.dtype)
-    y = jnp.einsum("oh,bhwc->bowc", wh, x)
-    return jnp.einsum("pw,bhwc->bhpc", ww, y)
+    return _separable_resize(x, size, weights)
 
 
 def bicubic_torch(x: jnp.ndarray, scale: float = None,
                   size: Tuple[int, int] = None) -> jnp.ndarray:
     """Bicubic resize matching torch F.interpolate(mode='bicubic',
     align_corners=False): half-pixel coords, cubic-convolution kernel
-    with a = -0.75 (jax.image's CUBIC uses a = -0.5), edge clamping.
-    Separable static gather-matmuls."""
-    b, h, w, c = x.shape
-    if size is None:
-        size = (int(round(h * scale)), int(round(w * scale)))
-    oh, ow = size
+    with a = -0.75 (jax.image's CUBIC uses a = -0.5), edge clamping."""
+    size = _resolve_size(x, scale, size)
     a = -0.75
 
     def cubic(t):
@@ -491,7 +490,7 @@ def bicubic_torch(x: jnp.ndarray, scale: float = None,
         return jnp.where(at <= 1.0, w1,
                          jnp.where(at < 2.0, w2, 0.0))
 
-    def weights(n_out: int, n_in: int) -> jnp.ndarray:
+    def weights(n_out, n_in):
         pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) \
             * (n_in / n_out) - 0.5
         base = jnp.floor(pos).astype(jnp.int32)
@@ -503,7 +502,4 @@ def bicubic_torch(x: jnp.ndarray, scale: float = None,
                 cubic(pos - (base + k).astype(jnp.float32)))
         return wm
 
-    wh = weights(oh, h).astype(x.dtype)
-    ww = weights(ow, w).astype(x.dtype)
-    y = jnp.einsum("oh,bhwc->bowc", wh, x)
-    return jnp.einsum("pw,bhwc->bhpc", ww, y)
+    return _separable_resize(x, size, weights)
