@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import interpolate
+from ..ops.blocks import bicubic_torch, interpolate
 
 Dtype = Any
 
@@ -172,7 +172,7 @@ class ABPN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         d = self.dim
-        bic = interpolate(x, scale=4, mode="bicubic")
+        bic = bicubic_torch(x, scale=4)
         feat = ConvB(2 * d, dtype=self.dtype, name="feat1")(x)
         feat = SpaceAttention(2 * d, self.dtype, name="SA0")(feat)
         feat = ConvB(d, dtype=self.dtype, name="feat2")(feat)

@@ -16,7 +16,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import ConvBlock, interpolate
+from ..ops.blocks import ConvBlock, bilinear_torch, interpolate
 
 Dtype = Any
 
@@ -210,15 +210,15 @@ class UNetDiscriminator(nn.Module):
         x2 = _lrelu(conv(self.nf * 4, 4, 2, "conv2", bias=False)(x1))
         x3 = _lrelu(conv(self.nf * 8, 4, 2, "conv3", bias=False)(x2))
 
-        u = interpolate(x3, scale=2, mode="bilinear")
+        u = bilinear_torch(x3, scale=2)
         x4 = _lrelu(conv(self.nf * 4, 3, 1, "conv4", bias=False)(u))
         if self.skip_connection:
             x4 = x4 + x2
-        u = interpolate(x4, scale=2, mode="bilinear")
+        u = bilinear_torch(x4, scale=2)
         x5 = _lrelu(conv(self.nf * 2, 3, 1, "conv5", bias=False)(u))
         if self.skip_connection:
             x5 = x5 + x1
-        u = interpolate(x5, scale=2, mode="bilinear")
+        u = bilinear_torch(x5, scale=2)
         x6 = _lrelu(conv(self.nf, 3, 1, "conv6", bias=False)(u))
         if self.skip_connection:
             x6 = x6 + x0

@@ -20,7 +20,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import depth_to_space, interpolate, kaiming_init
+from ..ops.blocks import (bilinear_torch, depth_to_space, interpolate,
+                          kaiming_init)
 from ..ops.deform_conv import DCNv2Pack
 
 Dtype = Any
@@ -35,7 +36,7 @@ def _conv(feats, k=3, stride=1, scale=1.0, dtype=jnp.float32, name=None):
 
 
 def _up2(x):
-    return interpolate(x, scale=2, mode="bilinear")
+    return bilinear_torch(x, scale=2)
 
 
 class ResidualBlockNoBN(nn.Module):

@@ -19,7 +19,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import depth_to_space, interpolate
+from ..ops.blocks import bilinear_torch, depth_to_space, interpolate
 from ..ops.warp import flow_warp_vsr
 from .rrdb import RRDBNet
 
@@ -124,7 +124,7 @@ class OFRnet(nn.Module):
         zeros = jnp.zeros((b, h // 2, w // 2, 2), x.dtype)
         flow_l1 = self.rnn2(self._rnn1(
             jnp.concatenate([x_l1, zeros], axis=-1)))
-        flow_l1_up = interpolate(flow_l1, size=(h, w), mode="bilinear") * 2.0
+        flow_l1_up = bilinear_torch(flow_l1, size=(h, w)) * 2.0
 
         # L2: full resolution, residual on upsampled L1
         frame_a = x[..., :ic]
@@ -137,8 +137,7 @@ class OFRnet(nn.Module):
         x_l3 = flow_warp_vsr(frame_a, flow_l2)
         inp_l3 = jnp.concatenate([x_l3, frame_b, flow_l2], axis=-1)
         flow_l3 = self.sr_head(self.sr_body(self._rnn1(inp_l3))) + \
-            interpolate(flow_l2, scale=self.scale,
-                        mode="bilinear") * self.scale
+            bilinear_torch(flow_l2, scale=self.scale) * self.scale
         return flow_l1, flow_l2, flow_l3
 
 
