@@ -109,6 +109,29 @@ def main(argv=None):
                 sr = trainer.eval_step_chop(state, lr)
             else:
                 sr = trainer.eval_step(state, lr)
+
+            # CEM post-processing (ref test.py:150-170): optionally blend
+            # with the unconstrained output via a guided filter and/or
+            # keep the unconstrained luma with CEM chroma
+            cem_cfg = opt.get("cem_config") or {}
+            if opt.get("use_cem") and cem_cfg.get("out_orig") \
+                    and hasattr(trainer, "eval_step"):
+                sr_orig = trainer.eval_step(state, lr, apply_cem=False)
+                if cem_cfg.get("out_filter"):
+                    from trainner_tpu.ops.filters import guided_filter
+
+                    ks = int(cem_cfg.get("out_filter_ks", 7))
+                    filt = guided_filter(sr, sr - sr_orig,
+                                         radius=(ks - 1) // 2)
+                    sr = sr_orig + filt
+                if cem_cfg.get("out_keepY"):
+                    from trainner_tpu.ops.colors import (rgb_to_ycbcr,
+                                                         ycbcr_to_rgb)
+
+                    y_orig = rgb_to_ycbcr(sr_orig)
+                    y_cem = rgb_to_ycbcr(sr)
+                    sr = ycbcr_to_rgb(jnp.concatenate(
+                        [y_orig[..., :1], y_cem[..., 1:]], axis=-1))
             sr_img = tensor2img(np.asarray(sr)[0], znorm)
             img_name = os.path.splitext(os.path.basename(
                 batch.get("LR_path", [str(i)])[0]))[0]

@@ -68,3 +68,18 @@ def test_test_cli_x8_and_chop():
             "metrics": "psnr"}
     _run(dict(base, self_ensemble=True), "sr_x8")
     _run(dict(base, chop_forward=True), "sr_chop")
+
+
+def test_test_cli_cem_postprocessing():
+    """CEM inference with out_orig + guided-filter blend + keepY
+    post-processing (ref test.py get_CEM:89 + :150-170)."""
+    _run({"model": "sr", "scale": 2, "use_cem": True,
+          "cem_config": {"out_orig": True, "out_filter": True,
+                         "out_filter_ks": 7, "out_keepY": True},
+          "datasets": {"test_1": {"name": "synth", "mode": "synthetic",
+                                  "scale": 2, "crop_size": 16,
+                                  "n_samples": 1, "batch_size": 1,
+                                  "n_workers": 0}},
+          "network_G": {"type": "sr_resnet", "nf": 8, "nb": 2,
+                        "upscale": 2},
+          "metrics": "psnr"}, "sr_cem")

@@ -504,30 +504,34 @@ class SRTrainer:
     # ------------------------------------------------------------------
     # eval
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _eval_step(self, g: NetState, lr_img, use_ema_or_swa: str = ""):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _eval_step(self, g: NetState, lr_img, use_ema_or_swa: str = "",
+                   apply_cem: Optional[bool] = None):
         x = lr_img.astype(jnp.float32)
         y, _ = self._g_apply(g, x, jax.random.PRNGKey(0), train=False)
         y = y.astype(jnp.float32)
-        if self.use_cem:
+        if self.use_cem if apply_cem is None else apply_cem:
             from ..ops.cem import cem_project
 
             y = cem_project(y, x, self.scale, kernel=self.cem_kernel)
         return y
 
     def eval_step(self, state: SRTrainState, lr_img,
-                  which: str = "auto") -> jnp.ndarray:
+                  which: str = "auto",
+                  apply_cem: Optional[bool] = None) -> jnp.ndarray:
         """Inference forward (ref sr_model.test:269).
 
         which: 'g' | 'ema' | 'swa' | 'auto' (auto prefers ema, then swa
         when available — mirrors validating the averaged model after the
-        SWA switchover, ref base_model.py:246-323)."""
+        SWA switchover, ref base_model.py:246-323). apply_cem overrides
+        the trainer-level CEM toggle (used by the test CLI's out_orig
+        post-processing, ref test.py:150)."""
         g = state.g
         if which in ("ema", "auto") and state.ema_params is not None:
             g = state.g.replace(params=state.ema_params)
         elif which == "swa" and state.swa_params is not None:
             g = state.g.replace(params=state.swa_params)
-        return self._eval_step(g, lr_img)
+        return self._eval_step(g, lr_img, apply_cem=apply_cem)
 
     def eval_step_chop(self, state: SRTrainState, lr_img,
                        patch_size: int = 128,
