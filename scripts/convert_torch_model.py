@@ -142,7 +142,8 @@ def main():
     p.add_argument("kind", choices=["esrgan", "srresnet", "discriminator",
                                     "ppon", "pan", "resnet_g", "sftnet",
                                     "sofvsr", "unet", "aan", "dvd",
-                                    "wbcunet", "vgg", "lpips", "export"])
+                                    "wbcunet", "abpn", "vgg", "lpips",
+                                    "export"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--nb", type=int, default=23)
@@ -156,7 +157,7 @@ def main():
     elif args.kind == "ppon":
         convert_ppon(args.src, args.dst)
     elif args.kind in ("pan", "resnet_g", "sftnet", "sofvsr", "unet",
-                       "aan", "dvd", "wbcunet"):
+                       "aan", "dvd", "wbcunet", "abpn"):
         from trainner_tpu.utils import torch_interop as ti
         from trainner_tpu.utils.checkpoint import save_params
         from trainner_tpu.utils.torch_interop import load_state_dict
@@ -166,7 +167,8 @@ def main():
               "sofvsr": ti.sofvsr_to_params,
               "unet": ti.unet_to_params, "aan": ti.aan_to_params,
               "dvd": ti.dvdnet_to_params,
-              "wbcunet": ti.named_to_params}[args.kind]
+              "wbcunet": ti.named_to_params,
+              "abpn": ti.abpn_to_params}[args.kind]
         save_params(fn(load_state_dict(args.src)), args.dst, backup=False)
         print(f"{args.kind} params -> {args.dst}")
     elif args.kind == "vgg":

@@ -517,3 +517,32 @@ def test_esrgan_psnr_parity_on_real_image():
                             hr[4:-4, 4:-4] * 255)
     assert abs(p_ref - p_ours) < 0.1, (p_ref, p_ours)
     assert abs(p_ref - p_ours) < 0.01  # actually ~identical
+
+
+def test_abpn_output_matches_reference_torch():
+    """ABPN_v5 .pth through abpn_to_params reproduces the torch output
+    (ref ABPN_arch.py:108; its down10/SA10/weight_down8 are dead)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.abpn import ABPN
+    from trainner_tpu.utils.torch_interop import abpn_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.ABPN_arch as ref_arch
+
+    torch.manual_seed(14)
+    net = ref_arch.ABPN_v5(3, 8).eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(17).random((1, 3, 16, 16), np.float32)
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(x), isTest=False).numpy()
+
+    params = abpn_to_params(sd)
+    flax_net = ABPN(dim=8, dtype=jnp.float32)
+    ours = np.asarray(flax_net.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False)).transpose(0, 3, 1, 2)
+    err = np.abs(ours - ref_out).max()
+    assert err < 2e-4, err

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.blocks import bicubic_torch, interpolate
+from ..ops.blocks import TorchDeconv, bicubic_torch
 
 Dtype = Any
 
@@ -56,9 +56,9 @@ class DeconvB(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(self.features, (6, 6), strides=(4, 4),
-                             padding="SAME", dtype=self.dtype,
-                             param_dtype=jnp.float32, name="deconv")(x)
+        # torch-exact ConvTranspose2d(6, s4, p1) for .pth interop
+        x = TorchDeconv(self.features, 6, 4, 1, 0, dtype=self.dtype,
+                        name="deconv")(x)
         return PReLU(name="act")(x)
 
 
@@ -201,20 +201,19 @@ class ABPN(nn.Module):
         hr_feat = ConvB(d, 1, dtype=self.dtype, name="SR_conv1")(hr_feat)
         hr_feat = ConvB(d, dtype=self.dtype, name="SR_conv2")(hr_feat)
         lr_feat = ConvB(d, 1, dtype=self.dtype, name="LR_conv1")(lr_feat)
-        lr_feat = DeconvB(d, self.dtype, name="LR_conv2")(lr_feat)
+        # LR_conv2 is a full back-projection UpBlock (ref :178)
+        lr_feat = UpBlock(d, self.dtype, name="LR_conv2")(lr_feat)
         sr_res = nn.Conv(self.input_dim, (3, 3), padding=1,
                          dtype=self.dtype, param_dtype=jnp.float32,
                          name="SR_conv3")(hr_feat + lr_feat)
         sr = bic.astype(sr_res.dtype) + sr_res
 
         # final LR back-projection refinement (ref :252-263)
-        lr_res = x - interpolate(sr, scale=0.25,
-                                 mode="bicubic").astype(x.dtype)
+        lr_res = x - bicubic_torch(sr, scale=0.25).astype(x.dtype)
         lr_res = ConvB(2 * d, dtype=self.dtype, name="final_feat1")(lr_res)
         lr_res = SpaceAttention(2 * d, self.dtype,
                                 name="final_SA0")(lr_res)
         lr_res = nn.Conv(self.input_dim, (3, 3), padding=1,
                          dtype=self.dtype, param_dtype=jnp.float32,
                          name="final_feat2")(lr_res)
-        return sr + interpolate(lr_res, scale=4,
-                                mode="bicubic").astype(sr.dtype)
+        return sr + bicubic_torch(lr_res, scale=4).astype(sr.dtype)

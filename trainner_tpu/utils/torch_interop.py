@@ -671,3 +671,34 @@ def unet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
                 put(f"up{d}", "ConvTranspose_0", leaf,
                     sd[f"{up_key}.{leaf}"], deconv=True)
     return tree
+
+
+def abpn_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map an ABPN_v5 .pth (ref ABPN_arch.py:108) onto the flax ABPN
+    tree — module names match 1:1; PReLU 'act.weight' scalars map to
+    act/alpha; deconv kernels to the TorchDeconv (kh,kw,in,out) layout.
+    The reference's down10/SA10/weight_down8 modules are dead (never
+    used in its forward) and are skipped."""
+    dead = ("down10.", "SA10.", "weight_down8.")
+    tree: Dict[str, Any] = {}
+    for k, v in sd.items():
+        if k.startswith(dead):
+            continue
+        parts = k.split(".")
+        leaf = parts[-1]
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if parts[-2] == "act":
+            node["alpha"] = v.reshape(())
+        elif leaf == "weight":
+            if "deconv" in parts:
+                node["kernel"] = np.ascontiguousarray(
+                    v.transpose(2, 3, 0, 1))  # (in,out,k,k)->(k,k,in,out)
+            elif v.ndim == 4:
+                node["kernel"] = conv_to_hwio(v)
+            else:
+                node["kernel"] = v.T
+        else:
+            node["bias"] = v
+    return tree
