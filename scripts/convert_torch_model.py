@@ -142,8 +142,8 @@ def main():
     p.add_argument("kind", choices=["esrgan", "srresnet", "discriminator",
                                     "ppon", "pan", "resnet_g", "sftnet",
                                     "sofvsr", "unet", "aan", "dvd",
-                                    "wbcunet", "abpn", "vgg", "lpips",
-                                    "export"])
+                                    "wbcunet", "abpn", "seg", "vgg",
+                                    "lpips", "export"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--nb", type=int, default=23)
@@ -168,7 +168,8 @@ def main():
               "unet": ti.unet_to_params, "aan": ti.aan_to_params,
               "dvd": ti.dvdnet_to_params,
               "wbcunet": ti.named_to_params,
-              "abpn": ti.abpn_to_params}[args.kind]
+              "abpn": ti.abpn_to_params,
+              "seg": ti.seg_to_params}[args.kind]
         save_params(fn(load_state_dict(args.src)), args.dst, backup=False)
         print(f"{args.kind} params -> {args.dst}")
     elif args.kind == "vgg":

@@ -546,3 +546,38 @@ def test_abpn_output_matches_reference_torch():
         train=False)).transpose(0, 3, 1, 2)
     err = np.abs(ours - ref_out).max()
     assert err < 2e-4, err
+
+
+def test_seg_output_matches_reference_torch():
+    """OutdoorSceneSeg .pth through seg_to_params reproduces the torch
+    segmentation probabilities (ref seg_arch.py:29) — SFTGAN can run
+    end-to-end with the published segmentation model."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.seg import OutdoorSceneSeg
+    from trainner_tpu.utils.torch_interop import seg_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.seg_arch as ref_arch
+
+    torch.manual_seed(15)
+    net = ref_arch.OutdoorSceneSeg().eval()
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.uniform_(-0.2, 0.2)
+            mod.running_var.uniform_(0.6, 1.4)
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(18).random((1, 3, 32, 32), np.float32)
+    with torch.no_grad():
+        # the reference's forward already applies softmax (seg_arch:41)
+        ref_prob = net(torch.from_numpy(x)).numpy()
+
+    variables = seg_to_params(sd)
+    flax_net = OutdoorSceneSeg(dtype=jnp.float32)
+    ours = np.asarray(flax_net.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False)).transpose(0, 3, 1, 2)
+    err = np.abs(ours - ref_prob).max()
+    assert err < 1e-4, err

@@ -702,3 +702,61 @@ def abpn_to_params(sd: Dict[str, np.ndarray]) -> Dict:
         else:
             node["bias"] = v
     return tree
+
+
+def seg_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map an OutdoorSceneSeg .pth (ref seg_arch.py:29: flat 'feature.N'
+    Sequential of stem convs + Res131 blocks + head, grouped 8x deconv)
+    onto the flax OutdoorSceneSeg variables {params, batch_stats}
+    (models/seg.py naming). Enables running SFTGAN end-to-end with the
+    published segmentation model."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_conv(scope, name, idx):
+        node = params
+        for p in scope:
+            node = node.setdefault(p, {})
+        node[name] = {"kernel": conv_to_hwio(sd[f"{idx}.weight"])}
+        if f"{idx}.bias" in sd:
+            node[name]["bias"] = sd[f"{idx}.bias"]
+
+    def put_bn(scope, name, idx):
+        node, snode = params, stats
+        for p in scope:
+            node = node.setdefault(p, {})
+            snode = snode.setdefault(p, {})
+        node[name] = {"scale": sd[f"{idx}.weight"],
+                      "bias": sd[f"{idx}.bias"]}
+        snode[name] = {"mean": sd[f"{idx}.running_mean"],
+                       "var": sd[f"{idx}.running_var"]}
+
+    # stem + head
+    put_conv((), "conv1_1", "feature.0"); put_bn((), "BatchNorm_0",
+                                                 "feature.1")
+    put_conv((), "conv1_2", "feature.3"); put_bn((), "BatchNorm_1",
+                                                 "feature.4")
+    put_conv((), "conv1_3", "feature.6"); put_bn((), "BatchNorm_2",
+                                                 "feature.7")
+    put_conv((), "conv5_4", "feature.43"); put_bn((), "BatchNorm_3",
+                                                  "feature.44")
+    put_conv((), "conv6", "feature.47")
+    params["deconv_kernel"] = np.ascontiguousarray(
+        sd["deconv.weight"].transpose(2, 3, 1, 0))  # (in,1,k,k)->(k,k,1,in)
+
+    block_names = (["res2a", "res2b0", "res2b1", "res3a"]
+                   + [f"res3b{i}" for i in range(3)] + ["res4a"]
+                   + [f"res4b{i}" for i in range(22)]
+                   + [f"res5{i}" for i in range(3)])
+    for n, name in enumerate(block_names):
+        base = f"feature.{10 + n}"
+        put_conv((name,), "conv0", f"{base}.res.0")
+        put_bn((name,), "BatchNorm_0", f"{base}.res.1")
+        put_conv((name,), "conv1", f"{base}.res.3")
+        put_bn((name,), "BatchNorm_1", f"{base}.res.4")
+        put_conv((name,), "conv2", f"{base}.res.6")
+        put_bn((name,), "BatchNorm_2", f"{base}.res.7")
+        if f"{base}.proj.0.weight" in sd:
+            put_conv((name,), "proj", f"{base}.proj.0")
+            put_bn((name,), "BatchNorm_3", f"{base}.proj.1")
+    return {"params": params, "batch_stats": stats}
