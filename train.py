@@ -108,8 +108,13 @@ def create_trainer(opt, mesh=None):
     if model in ("sr", "srgan", "srragan"):
         from trainner_tpu.train.sr_trainer import SRTrainer
 
+        # training defaults to bf16 (the AMP replacement); inference
+        # defaults to f32 like the reference's fp32 test path — override
+        # either with an explicit use_amp
+        amp_default = bool(opt.get("is_train", True))
         return SRTrainer(opt, mesh=mesh, dtype=jnp.bfloat16
-                         if opt.get("use_amp", True) else jnp.float32)
+                         if opt.get("use_amp", amp_default)
+                         else jnp.float32)
     if model in ("srflow",):
         from trainner_tpu.train.srflow_trainer import SRFlowTrainer
 
