@@ -93,28 +93,31 @@ def get_dataloaders(opt):
 
 
 def create_trainer(opt, mesh=None):
-    """Model-strategy factory (ref models/__init__.py create_model:46)."""
+    """Model-strategy factory (ref models/__init__.py create_model:46).
+
+    dtype policy: training defaults to bf16 network bodies (the TPU AMP
+    replacement); inference defaults to f32 like the reference's fp32
+    test path. An explicit `use_amp` overrides either direction.
+    SRFlow always trains f32 (flow logdets are precision-sensitive).
+    """
     import jax.numpy as jnp
 
     model = (opt.get("model") or "sr").lower()
+    amp_default = bool(opt.get("is_train", True))
+    dtype = jnp.bfloat16 if opt.get("use_amp", amp_default) \
+        else jnp.float32
     if model in ("sftgan", "sftgan_acd"):
         from trainner_tpu.train.sftgan_trainer import SFTGANTrainer
 
-        return SFTGANTrainer(opt, mesh=mesh)
+        return SFTGANTrainer(opt, mesh=mesh, dtype=dtype)
     if model in ("pbr", "sr_pbr", "pbr_sr"):
         from trainner_tpu.train.pbr_trainer import PBRTrainer
 
-        return PBRTrainer(opt, mesh=mesh)
+        return PBRTrainer(opt, mesh=mesh, dtype=dtype)
     if model in ("sr", "srgan", "srragan"):
         from trainner_tpu.train.sr_trainer import SRTrainer
 
-        # training defaults to bf16 (the AMP replacement); inference
-        # defaults to f32 like the reference's fp32 test path — override
-        # either with an explicit use_amp
-        amp_default = bool(opt.get("is_train", True))
-        return SRTrainer(opt, mesh=mesh, dtype=jnp.bfloat16
-                         if opt.get("use_amp", amp_default)
-                         else jnp.float32)
+        return SRTrainer(opt, mesh=mesh, dtype=dtype)
     if model in ("srflow",):
         from trainner_tpu.train.srflow_trainer import SRFlowTrainer
 
@@ -122,27 +125,27 @@ def create_trainer(opt, mesh=None):
     if model in ("vsr", "vsrgan", "evsrgan", "video"):
         from trainner_tpu.train.vsr_trainer import VSRTrainer
 
-        return VSRTrainer(opt, mesh=mesh)
+        return VSRTrainer(opt, mesh=mesh, dtype=dtype)
     if model in ("dvd",):
         from trainner_tpu.train.dvd_trainer import DVDTrainer
 
-        return DVDTrainer(opt, mesh=mesh)
+        return DVDTrainer(opt, mesh=mesh, dtype=dtype)
     if model in ("ppon",):
         from trainner_tpu.train.ppon_trainer import PPONTrainer
 
-        return PPONTrainer(opt, mesh=mesh)
+        return PPONTrainer(opt, mesh=mesh, dtype=dtype)
     if model in ("pix2pix",):
         from trainner_tpu.train.pix2pix_trainer import Pix2PixTrainer
 
-        return Pix2PixTrainer(opt, mesh=mesh)
+        return Pix2PixTrainer(opt, mesh=mesh, dtype=dtype)
     if model in ("cyclegan",):
         from trainner_tpu.train.cyclegan_trainer import CycleGANTrainer
 
-        return CycleGANTrainer(opt, mesh=mesh)
+        return CycleGANTrainer(opt, mesh=mesh, dtype=dtype)
     if model in ("wbc",):
         from trainner_tpu.train.wbc_trainer import WBCTrainer
 
-        return WBCTrainer(opt, mesh=mesh)
+        return WBCTrainer(opt, mesh=mesh, dtype=dtype)
     raise NotImplementedError(f"model [{model}] not recognized")
 
 
