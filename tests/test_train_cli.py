@@ -146,3 +146,38 @@ def test_cli_blind_sr_presets():
                     "lr_scheme": "MultiStepLR", "lr_steps": [100]},
           "logger": {"print_freq": 2, "save_checkpoint_freq": 4,
                      "tensorboard": False}}, "blind_sr")
+
+
+def test_cli_resume_from_state():
+    """End-to-end resume through the CLI: a second run with
+    path.resume_state continues from the saved iteration and reaches
+    the (larger) niter (ref train.py get_resume_state:81 +
+    resume_training:176)."""
+    base = {"model": "sr", "scale": 2, "use_amp": False,
+            "datasets": {"train": {"mode": "synthetic", "scale": 2,
+                                   "crop_size": 16, "n_samples": 4,
+                                   "batch_size": 2, "n_workers": 0}},
+            "network_G": {"type": "sr_resnet", "nf": 8, "nb": 2,
+                          "upscale": 2},
+            "train": {"lr_G": 1e-4, "niter": 4, "pixel_criterion": "l1",
+                      "pixel_weight": 1.0, "lr_scheme": "MultiStepLR",
+                      "lr_steps": [100]},
+            "logger": {"print_freq": 2, "save_checkpoint_freq": 2,
+                       "tensorboard": False}}
+    exp = _run(base, "resume")
+    state_dir = os.path.join(exp, "training_state")
+    assert any(f for f in os.listdir(state_dir))
+
+    # second run: resume and extend to niter=8 (config edits like a
+    # longer schedule apply on resume - functional LR schedules)
+    cfg2 = dict(base)
+    cfg2["train"] = dict(base["train"], niter=8)
+    cfg2["path"] = {"root": ROOT, "resume_state": state_dir}
+    p = os.path.join(ROOT, "resume2.yml")
+    cfg2["name"] = "debug_resume"
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg2, f)
+    train_cli.main(["-opt", p])
+    models = os.listdir(os.path.join(exp, "models"))
+    assert any(m.startswith("8_") or m == "latest_G.ckpt" for m in models), \
+        models
