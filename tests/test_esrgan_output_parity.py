@@ -581,3 +581,37 @@ def test_seg_output_matches_reference_torch():
         train=False)).transpose(0, 3, 1, 2)
     err = np.abs(ours - ref_prob).max()
     assert err < 1e-4, err
+
+
+def test_asrresnet_output_matches_reference_torch():
+    """A-SRResNet .pth through asrresnet_to_params (spectral norms
+    folded into effective weights) reproduces the torch output
+    (ref ASRResNet_arch.py:145)."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.asrresnet import ASRResNet
+    from trainner_tpu.utils.torch_interop import asrresnet_to_params
+
+    if REF not in sys.path:
+        sys.path.append(REF)
+    _stub_torchvision_full()
+    import models.modules.architectures.ASRResNet_arch as ref_arch
+
+    torch.manual_seed(16)
+    net = ref_arch.ASRResNet().eval()
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.uniform_(-0.2, 0.2)
+            mod.running_var.uniform_(0.6, 1.4)
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    x = np.random.default_rng(19).random((1, 3, 16, 16), np.float32)
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(x)).numpy()
+
+    variables = asrresnet_to_params(sd)
+    flax_net = ASRResNet(spectral_norm=False, dtype=jnp.float32)
+    ours = np.asarray(flax_net.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False)).transpose(0, 3, 1, 2)
+    err = np.abs(ours - ref_out).max()
+    assert err < 2e-4, err

@@ -760,3 +760,76 @@ def seg_to_params(sd: Dict[str, np.ndarray]) -> Dict:
             put_conv((name,), "proj", f"{base}.proj.0")
             put_bn((name,), "BatchNorm_3", f"{base}.proj.1")
     return {"params": params, "batch_stats": stats}
+
+
+def _sn_effective(sd: Dict[str, np.ndarray], prefix: str) -> np.ndarray:
+    """Fold torch spectral_norm state into the effective weight:
+    W = W_orig / sigma with sigma = u^T (W_mat v) using the stored
+    power-iteration vectors (torch SpectralNorm eval behavior)."""
+    w = sd[f"{prefix}.weight_orig"]
+    u = sd[f"{prefix}.weight_u"]
+    v = sd[f"{prefix}.weight_v"]
+    wm = w.reshape(w.shape[0], -1)
+    sigma = float(u @ (wm @ v))
+    return w / sigma
+
+
+def asrresnet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map an A-SRResNet .pth (ref ASRResNet_arch.py:145: spectral-norm
+    convs + PReLU + BN + self-attention FSA) onto the flax ASRResNet
+    variables {params, batch_stats}, folding each spectral norm into its
+    effective weight (inference-exact; training from such a checkpoint
+    restarts the power iteration)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def node(tree, path):
+        n = tree
+        for p in path:
+            n = n.setdefault(p, {})
+        return n
+
+    def put_sn_conv(path, prefix):
+        w = _sn_effective(sd, prefix)
+        if w.ndim == 3:  # conv1d (FSA) -> 1x1 conv2d
+            w = w[:, :, :, None]  # (O,I,1,1)
+        n = node(params, path)
+        n["kernel"] = conv_to_hwio(w)
+        if f"{prefix}.bias" in sd:
+            n["bias"] = sd[f"{prefix}.bias"]
+
+    def put_bn(path, prefix):
+        n = node(params, path)
+        n["scale"] = sd[f"{prefix}.weight"]
+        n["bias"] = sd[f"{prefix}.bias"]
+        s = node(stats, path)
+        s["mean"] = sd[f"{prefix}.running_mean"]
+        s["var"] = sd[f"{prefix}.running_var"]
+
+    def put_prelu(path, prefix):
+        node(params, path)["alpha"] = sd[f"{prefix}.weight"].reshape(())
+
+    put_sn_conv(("block1", "conv"), "block1.0")
+    put_prelu(("act1",), "block1.1")
+    for i in range(2, 7):
+        b = f"block{i}"
+        put_sn_conv((b, "conv1", "conv"), f"{b}.conv1")
+        put_bn((b, "BatchNorm_0"), f"{b}.bn1")
+        put_prelu((b, "act1"), f"{b}.act1")
+        put_sn_conv((b, "conv2", "conv"), f"{b}.conv2")
+        put_bn((b, "BatchNorm_1"), f"{b}.bn2")
+        put_prelu((b, "act2"), f"{b}.act2")
+    put_sn_conv(("block7", "conv"), "block7.0")
+    put_bn(("bn7",), "block7.1")
+    for name, pre in (("f", "conv_f"), ("g", "conv_g"), ("h", "conv_h")):
+        put_sn_conv(("FSA", name), f"FSA.{pre}")
+        # our FSA convs are bias-free 1x1s if bias absent in target;
+        # biases load when present in both
+    node(params, ("FSA",))["gamma"] = sd["FSA.gamma"].reshape(())
+    # upsample + output convs (plain)
+    for n_, pre in (("up0", "block8.0.conv.0"), ("up1", "block8.1.conv.0"),
+                    ("out", "block8.2")):
+        nn_ = node(params, (n_, "conv"))
+        nn_["kernel"] = conv_to_hwio(sd[f"{pre}.weight"])
+        nn_["bias"] = sd[f"{pre}.bias"]
+    return {"params": params, "batch_stats": stats}
