@@ -124,6 +124,48 @@ def convert_lpips(src: str, dst: str) -> None:
     print(f"LPIPS lin weights ({len(out)} layers) -> {dst}")
 
 
+# torchvision state-dict conv prefixes -> our flax layer names, per backbone
+_LPIPS_BACKBONE_MAPS = {
+    "squeeze": [("features.0", "conv1")] + [
+        (f"features.{idx}.{part}", f"fire{n}_{tag}")
+        for n, idx in enumerate((3, 4, 6, 7, 9, 10, 11, 12), start=1)
+        for part, tag in (("squeeze", "s"), ("expand1x1", "e1"),
+                          ("expand3x3", "e3"))],
+    "alex": [(f"features.{idx}", f"conv{n}")
+             for n, idx in enumerate((0, 3, 6, 8, 10), start=1)],
+    "vgg": [(f"features.{idx}", f"conv{b}_{c}")
+            for (b, c), idx in zip(
+                [(b, c) for b, reps in enumerate((2, 2, 3, 3, 3), start=1)
+                 for c in range(1, reps + 1)],
+                (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28))],
+}
+
+
+def convert_lpips_full(src: str, dst: str, net: str,
+                       lin_src: str = None) -> None:
+    """torchvision backbone .pth (squeezenet1_1 | alexnet | vgg16 state
+    dict) -> full LPIPS npz ('net/<layer>/kernel|bias' HWIO). Lin vectors
+    come from --lin (a reference lpips_weights .pth) when given, else the
+    bundled in-repo calibrated set is merged at load time."""
+    from trainner_tpu.utils.torch_interop import (conv_to_hwio,
+                                                  load_state_dict)
+
+    sd = load_state_dict(src)
+    out = {}
+    for prefix, name in _LPIPS_BACKBONE_MAPS[net]:
+        out[f"net/{name}/kernel"] = conv_to_hwio(sd[f"{prefix}.weight"])
+        out[f"net/{name}/bias"] = np.asarray(sd[f"{prefix}.bias"])
+    if lin_src:
+        lin_sd = load_state_dict(lin_src)
+        for k, v in lin_sd.items():
+            if ".model.1.weight" in k or (k.startswith("lin")
+                                          and k.endswith("weight")):
+                i = k.split(".")[0].replace("lin", "")
+                out[f"lin{i}"] = np.asarray(v).reshape(-1)
+    np.savez(dst, **out)
+    print(f"LPIPS {net} backbone ({len(out)} arrays) -> {dst}")
+
+
 def export_esrgan(src: str, dst: str, nb: int) -> None:
     import torch
 
@@ -143,10 +185,14 @@ def main():
                                     "ppon", "pan", "resnet_g", "sftnet",
                                     "sofvsr", "unet", "aan", "dvd",
                                     "wbcunet", "abpn", "seg", "vgg",
-                                    "lpips", "export"])
+                                    "lpips", "lpips-full", "export"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--nb", type=int, default=23)
+    p.add_argument("--net", choices=["squeeze", "alex", "vgg"],
+                   default="squeeze", help="lpips-full backbone kind")
+    p.add_argument("--lin", default=None,
+                   help="lpips-full: reference lin-weights .pth to embed")
     args = p.parse_args()
     if args.kind == "esrgan":
         convert_esrgan(args.src, args.dst)
@@ -176,6 +222,8 @@ def main():
         convert_vgg(args.src, args.dst)
     elif args.kind == "lpips":
         convert_lpips(args.src, args.dst)
+    elif args.kind == "lpips-full":
+        convert_lpips_full(args.src, args.dst, args.net, lin_src=args.lin)
     else:
         export_esrgan(args.src, args.dst, args.nb)
 

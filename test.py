@@ -68,8 +68,11 @@ def main(argv=None):
         logger.info(f"Testing [{name}]...")
         res_dir = os.path.join(opt["path"]["results_root"], name)
         os.makedirs(res_dir, exist_ok=True)
-        metrics = MetricsDict(opt.get("metrics") or "psnr,ssim")
-        metrics_y = MetricsDict(opt.get("metrics") or "psnr,ssim")
+        lpips_w = (opt.get("path") or {}).get("lpips_weights")
+        metrics = MetricsDict(opt.get("metrics") or "psnr,ssim",
+                              lpips_weights=lpips_w)
+        metrics_y = MetricsDict(opt.get("metrics") or "psnr,ssim",
+                                lpips_weights=lpips_w)
         n_img = 0
         for i, batch in enumerate(loader):
             in_key = "in" if model == "dvd" else "LR"

@@ -126,3 +126,31 @@ def test_orbax_backend_roundtrip(tmp_path):
     s1, l1 = tr.train_step(state, batch)
     s2, l2 = tr.train_step(restored, batch)
     assert np.allclose(float(l1["l_g_total"]), float(l2["l_g_total"]))
+
+
+def test_latest_state_path_ignores_backups_and_ranks_by_iter(tmp_path):
+    """Auto-resume must pick the state representing the highest iteration:
+    'previous_*' preemption backups are excluded, and 'latest.state' ranks
+    by its JSON sidecar iter rather than lexically (ADVICE r1 high)."""
+    import json
+
+    from trainner_tpu.utils.checkpoint import latest_state_path
+
+    d = tmp_path / "training_state"
+    d.mkdir()
+    for name, it in (("10000.state", 10000), ("2000.state", 2000),
+                     ("latest.state", 12000),
+                     ("previous_latest.state", 11000),
+                     ("previous_10000.state", 9000)):
+        (d / name).write_bytes(b"x")
+        (d / (name + ".json")).write_text(json.dumps({"iter": it}))
+    # latest.state carries the newest iter via its sidecar
+    assert latest_state_path(str(d)).endswith("/latest.state")
+    # numbered iters beat a stale latest
+    (d / "latest.state.json").write_text(json.dumps({"iter": 500}))
+    assert latest_state_path(str(d)).endswith("/10000.state")
+    # previous_* never wins, even when it sorts last lexically
+    (d / "10000.state").unlink()
+    (d / "2000.state").unlink()
+    (d / "latest.state").unlink()
+    assert latest_state_path(str(d)) is None

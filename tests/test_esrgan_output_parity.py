@@ -598,7 +598,17 @@ def test_asrresnet_output_matches_reference_torch():
     import models.modules.architectures.ASRResNet_arch as ref_arch
 
     torch.manual_seed(16)
-    net = ref_arch.ASRResNet().eval()
+    net = ref_arch.ASRResNet()
+    # settle spectral-norm power iteration: a fresh net's (u, v) give
+    # sigma ~ -0.003, so eval-mode weights blow up ~300x and the whole
+    # net runs at 1e14 scale where fp noise swamps any tolerance; 30
+    # train-mode forwards converge sigma to the true spectral norm
+    net.train()
+    with torch.no_grad():
+        for _ in range(30):
+            net(torch.randn(1, 3, 16, 16))
+    net.eval()
+    torch.manual_seed(21)
     for mod in net.modules():
         if isinstance(mod, torch.nn.BatchNorm2d):
             mod.running_mean.uniform_(-0.2, 0.2)

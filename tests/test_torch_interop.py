@@ -111,12 +111,128 @@ def test_lpips_functional():
 def test_lpips_metric_wrapper():
     from trainner_tpu.losses.lpips import LPIPSMetric
 
-    m = LPIPSMetric(net="squeeze")
+    m = LPIPSMetric(net="squeeze", allow_random=True)
     rng = np.random.default_rng(0)
     a = rng.random((64, 64, 3)).astype(np.float32)
     b = rng.random((64, 64, 3)).astype(np.float32)
     assert m(a, a) < 1e-6
     assert m(a, b) > 0.0
+
+
+def test_lpips_metric_loud_failure(monkeypatch):
+    """Requesting lpips without backbone weights must raise, not silently
+    score with a random-init net (VERDICT r1 missing #1)."""
+    from trainner_tpu.losses.lpips import LPIPSWeightsMissing
+
+    monkeypatch.delenv("TRAINNER_LPIPS_WEIGHTS", raising=False)
+    from trainner_tpu.losses.lpips import LPIPSMetric
+
+    with pytest.raises(LPIPSWeightsMissing):
+        LPIPSMetric(net="squeeze")
+
+    from trainner_tpu.utils.metrics import MetricsDict
+
+    with pytest.raises(LPIPSWeightsMissing):
+        MetricsDict("psnr,lpips")
+
+
+def _torch_squeeze_backbone(torch):
+    """torchvision squeezenet1_1 `.features` twin (random weights) —
+    same module indices/state-dict keys as the real one."""
+    nn = torch.nn
+
+    class Fire(nn.Module):
+        def __init__(self, inp, s, e):
+            super().__init__()
+            self.squeeze = nn.Conv2d(inp, s, 1)
+            self.expand1x1 = nn.Conv2d(s, e, 1)
+            self.expand3x3 = nn.Conv2d(s, e, 3, padding=1)
+            self.act = nn.ReLU()
+
+        def forward(self, x):
+            x = self.act(self.squeeze(x))
+            return torch.cat([self.act(self.expand1x1(x)),
+                              self.act(self.expand3x3(x))], 1)
+
+    return nn.Sequential(
+        nn.Conv2d(3, 64, 3, stride=2), nn.ReLU(),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(64, 16, 64), Fire(128, 16, 64),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(128, 32, 128), Fire(256, 32, 128),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(256, 48, 192), Fire(384, 48, 192),
+        Fire(384, 64, 256), Fire(512, 64, 256))
+
+
+def test_lpips_full_distance_parity(tmp_path):
+    """End-to-end LPIPS parity: a torch squeezenet backbone (random
+    weights, torchvision key layout) + the reference's calibrated lin
+    weights, converted via `lpips-full`, reproduces the torch LPIPS
+    distance (ref modules/LPIPS/networks_basic.py PNetLin form) <1e-4."""
+    torch = pytest.importorskip("torch")
+    lin_pth = ("/root/reference/codes/models/modules/LPIPS/lpips_weights/"
+               "v0.1/squeeze.pth")
+    import os
+    import sys
+
+    if not os.path.exists(lin_pth):
+        pytest.skip("reference lpips weights not present")
+
+    torch.manual_seed(7)
+    net = _torch_squeeze_backbone(torch).eval()
+    # shrink random conv weights so deep activations stay O(1)
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.Conv2d):
+            mod.weight.data *= 0.3
+    sd = {k: v for k, v in net.state_dict().items()}
+    # rewrite Fire keys ('3.squeeze.weight') to torchvision layout
+    # ('features.3.squeeze.weight'); plain convs get 'features.N.weight'
+    tv_sd = {f"features.{k}": v for k, v in sd.items()}
+    pth = str(tmp_path / "squeezenet1_1.pth")
+    torch.save(tv_sd, pth)
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import convert_torch_model as conv
+
+    npz = str(tmp_path / "lpips_squeeze.npz")
+    conv.convert_lpips_full(pth, npz, "squeeze", lin_src=lin_pth)
+
+    # torch LPIPS reference computation (PNetLin functional form)
+    lin_sd = torch.load(lin_pth, map_location="cpu", weights_only=True)
+    lins = [lin_sd[f"lin{i}.model.1.weight"].reshape(-1) for i in range(7)]
+    shift = torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([.458, .448, .450]).view(1, 3, 1, 1)
+
+    def torch_feats(x):
+        taps = []
+        h = (2.0 * x - 1.0 - shift) / scale
+        for i, mod in enumerate(net):
+            h = mod(h)
+            if i in (1, 4, 7, 9, 10, 11, 12):  # relu1 + fires 2/4/5/6/7/8
+                taps.append(h)
+        return taps
+
+    rng = np.random.default_rng(3)
+    a = rng.random((1, 3, 64, 64), np.float32)
+    b = np.clip(a + 0.1 * rng.standard_normal(a.shape, np.float32), 0, 1)
+    with torch.no_grad():
+        fa = torch_feats(torch.from_numpy(a))
+        fb = torch_feats(torch.from_numpy(b))
+        ref_d = 0.0
+        for fx, fy, w in zip(fa, fb, lins):
+            nx = fx / (fx.norm(dim=1, keepdim=True) + 1e-10)
+            ny = fy / (fy.norm(dim=1, keepdim=True) + 1e-10)
+            diff = (nx - ny) ** 2
+            ref_d += (diff * w.view(1, -1, 1, 1)).sum(1).mean()
+        ref_d = float(ref_d)
+
+    from trainner_tpu.losses.lpips import LPIPSMetric
+
+    m = LPIPSMetric(net="squeeze", weights_path=npz)
+    ours = m(a[0].transpose(1, 2, 0), b[0].transpose(1, 2, 0))
+    assert abs(ours - ref_d) < 1e-4, (ours, ref_d)
 
 
 def test_lpips_lin_weight_conversion():

@@ -202,7 +202,8 @@ def validate(trainer, state, val_loader, opt, epoch, current_step,
     from trainner_tpu.data.common import save_img, tensor2img
     from trainner_tpu.utils.metrics import MetricsDict
 
-    metrics = MetricsDict((opt["train"] or {}).get("metrics") or "psnr,ssim")
+    metrics = MetricsDict((opt["train"] or {}).get("metrics") or "psnr,ssim",
+                          lpips_weights=opt["path"].get("lpips_weights"))
     val_dir = opt["path"].get("val_images")
     save_imgs = bool((opt.get("logger") or {}).get("save_val_imgs", True))
     scale = int(opt.get("scale") or 1)

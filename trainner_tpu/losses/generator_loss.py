@@ -124,8 +124,13 @@ def build_loss_list(train_opt: dict, allow_featnets: bool = True,
         entries.append(LossEntry("l_g_cx", "cx", w("cx_weight"), cx))
 
     if allow_featnets and t.get("lpips_weight"):
+        from .lpips import LPIPSWeightsMissing, _missing_msg
         from .perceptual import LPIPS
 
+        if vgg_weights_path is None:
+            # loud by design: an lpips loss on random-init VGG features is
+            # garbage (ref bundles lin weights + downloads the backbone)
+            raise LPIPSWeightsMissing(_missing_msg("vgg"))
         lp = LPIPS(weights_path=vgg_weights_path)
         entries.append(LossEntry("l_g_lpips", "lpips", w("lpips_weight"), lp))
 

@@ -6,10 +6,18 @@ features from a fixed backbone (squeeze | alex | vgg), channel-unit
 normalization, per-layer 1x1 linear calibration, spatial average, layer
 sum. The reference bundles only the linear-calibration weights
 (modules/LPIPS/lpips_weights/v0.1/{squeeze,alex,vgg}.pth); backbone
-weights come from torchvision. This implementation loads both from npz
-files produced by scripts/convert_lpips.py (torch -> HWIO npz); without
-them the module computes the same functional form on random-init features
-(useful for tests, NOT parity).
+weights come from torchvision.
+
+Weights here: the calibrated lin vectors are BUNDLED in-repo
+(trainner_tpu/losses/weights/lpips_lin_{net}.npz, converted from the
+reference's v0.1 .pth) and load automatically. Backbone weights cannot be
+redistributed offline; convert them once with
+`python scripts/convert_torch_model.py lpips-full <torchvision.pth> out.npz
+ --net squeeze` and point weights_path (or $TRAINNER_LPIPS_WEIGHTS, or drop
+the file at trainner_tpu/losses/weights/lpips_{net}.npz) at the result.
+Requesting LPIPS without backbone weights is a HARD ERROR (the reference
+would silently download torchvision weights; we cannot) — pass
+allow_random=True only for functional-form tests.
 
 TPU-first: NHWC, pure functions; feature stacks are plain conv chains so
 the whole distance is one fused XLA graph.
@@ -17,6 +25,7 @@ the whole distance is one fused XLA graph.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -34,6 +43,18 @@ LPIPS_TAPS = {
 # input normalization used by LPIPS (scaling layer)
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def _max_pool_ceil(x, window: int = 3, stride: int = 2):
+    """torch MaxPool2d(ceil_mode=True) equivalent: pad right/bottom with
+    -inf so partial windows count (torchvision SqueezeNet uses ceil_mode)."""
+    h, w = x.shape[1], x.shape[2]
+    ph = (-(h - window) % stride) if h > window else 0
+    pw = (-(w - window) % stride) if w > window else 0
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                    constant_values=-jnp.inf)
+    return nn.max_pool(x, (window, window), strides=(stride, stride))
 
 
 class SqueezeFeatures(nn.Module):
@@ -56,15 +77,15 @@ class SqueezeFeatures(nn.Module):
         x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
                             dtype=self.dtype, name="conv1")(x))
         taps.append(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = _max_pool_ceil(x)
         x = self._fire(x, 16, 64, "fire1")
         x = self._fire(x, 16, 64, "fire2")
         taps.append(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = _max_pool_ceil(x)
         x = self._fire(x, 32, 128, "fire3")
         x = self._fire(x, 32, 128, "fire4")
         taps.append(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = _max_pool_ceil(x)
         x = self._fire(x, 48, 192, "fire5")
         taps.append(x)
         x = self._fire(x, 48, 192, "fire6")
@@ -165,9 +186,32 @@ class LPIPS(nn.Module):
         return total
 
 
-def load_lpips_npz(path: str) -> dict:
-    """Load converted LPIPS weights (scripts/convert_lpips.py output):
-    'net/<layer>/kernel|bias' (HWIO) + 'lin{i}' vectors."""
+_WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "weights")
+
+
+def bundled_lin_path(net: str) -> Optional[str]:
+    """Path of the in-repo calibrated lin vectors for a backbone (converted
+    from ref modules/LPIPS/lpips_weights/v0.1/{net}.pth), or None."""
+    p = os.path.join(_WEIGHTS_DIR, f"lpips_lin_{net}.npz")
+    return p if os.path.exists(p) else None
+
+
+def find_lpips_weights(net: str) -> Optional[str]:
+    """Auto-discover full (backbone+lin) LPIPS weights: explicit env var
+    $TRAINNER_LPIPS_WEIGHTS, else the conventional in-repo drop point."""
+    env = os.environ.get("TRAINNER_LPIPS_WEIGHTS")
+    if env and os.path.exists(env):
+        return env
+    p = os.path.join(_WEIGHTS_DIR, f"lpips_{net}.npz")
+    return p if os.path.exists(p) else None
+
+
+def load_lpips_npz(path: str, net: Optional[str] = None) -> dict:
+    """Load converted LPIPS weights (scripts/convert_torch_model.py
+    lpips-full output): 'net/<layer>/kernel|bias' (HWIO) + 'lin{i}'
+    vectors. Lin vectors missing from the file fall back to the bundled
+    calibrated set for `net`."""
     data = np.load(path)
     params: Dict[str, Any] = {"net": {}}
     for key in data.files:
@@ -176,29 +220,64 @@ def load_lpips_npz(path: str) -> dict:
             params["net"].setdefault(layer, {})[leaf] = data[key]
         else:
             params[key] = data[key]
+    if net and not any(k.startswith("lin") for k in params):
+        lin = bundled_lin_path(net)
+        if lin:
+            lin_data = np.load(lin)
+            for k in lin_data.files:
+                params[k] = lin_data[k]
     return {"params": params}
+
+
+class LPIPSWeightsMissing(RuntimeError):
+    pass
+
+
+def _missing_msg(net: str) -> str:
+    return (
+        f"LPIPS backbone weights for '{net}' not found. LPIPS needs "
+        "pretrained torchvision features which cannot be bundled; convert "
+        "them once on any machine with torchvision:\n"
+        "  python scripts/convert_torch_model.py lpips-full "
+        f"<torchvision_{net}.pth> lpips_{net}.npz --net {net}\n"
+        "then either set TRAINNER_LPIPS_WEIGHTS=/path/to/lpips_"
+        f"{net}.npz, set path.lpips_weights in the options file, or drop "
+        f"the file at trainner_tpu/losses/weights/lpips_{net}.npz. "
+        "(The calibrated lin vectors are already bundled in-repo.)")
 
 
 class LPIPSMetric:
     """Callable metric wrapper used by utils.metrics.MetricsDict: takes
-    HWC uint8/float images, returns scalar distance. Random-init unless
-    weights_path is given."""
+    HWC uint8/float images, returns scalar distance.
+
+    Weights resolve as: explicit weights_path > $TRAINNER_LPIPS_WEIGHTS >
+    trainner_tpu/losses/weights/lpips_{net}.npz. Missing backbone weights
+    raise LPIPSWeightsMissing at construction (loud, not random-init);
+    allow_random=True bypasses for functional-form tests only.
+    """
 
     def __init__(self, net: str = "squeeze",
-                 weights_path: Optional[str] = None):
+                 weights_path: Optional[str] = None,
+                 allow_random: bool = False):
         self.model = LPIPS(net=net)
+        self.net = net
         self._params = None
-        self._weights_path = weights_path
+        self._weights_path = weights_path or find_lpips_weights(net)
+        self._allow_random = allow_random
+        if self._weights_path is None and not allow_random:
+            raise LPIPSWeightsMissing(_missing_msg(net))
         self._fn = None
 
     def _ensure(self, shape):
         if self._fn is not None:
             return
-        rng = jax.random.PRNGKey(0)
-        x0 = jnp.zeros((1, *shape), jnp.float32)
-        variables = jax.jit(lambda r, a: self.model.init(r, a, a))(rng, x0)
         if self._weights_path:
-            variables = load_lpips_npz(self._weights_path)
+            variables = load_lpips_npz(self._weights_path, net=self.net)
+        else:  # allow_random: functional form on random features
+            rng = jax.random.PRNGKey(0)
+            x0 = jnp.zeros((1, *shape), jnp.float32)
+            variables = jax.jit(
+                lambda r, a: self.model.init(r, a, a))(rng, x0)
         self._params = variables
         self._fn = jax.jit(lambda v, a, b: self.model.apply(v, a, b))
 

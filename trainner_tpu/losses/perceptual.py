@@ -142,11 +142,18 @@ class LPIPS:
             self.variables = self.model.init(
                 {"params": jr.PRNGKey(11)}, jnp.zeros((1, 64, 64, 3)))
         self.lin = None
-        if self.lin_weights_path:
+        lin_path = self.lin_weights_path
+        if lin_path is None and self.arch == "vgg16":
+            # calibrated LPIPS-v0.1 vgg lin vectors are bundled in-repo
+            from .lpips import bundled_lin_path
+
+            lin_path = bundled_lin_path("vgg")
+        if lin_path:
             import numpy as np
 
-            data = np.load(self.lin_weights_path)
-            self.lin = {k: jnp.asarray(data[k]) for k in data.files}
+            data = np.load(lin_path)
+            self.lin = {k: jnp.asarray(data[k]) for k in data.files
+                        if k.startswith("lin")}
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         fx = self.model.apply(self.variables, x)

@@ -42,14 +42,21 @@ default_sr_init = functools.partial(kaiming_init, 0.1)
 
 
 def act(act_type: Optional[str], neg_slope: float = 0.2) -> Callable:
+    """String -> activation callable (ref block.py:82).
+
+    'prelu' returns a real learned-slope nn.PReLU module — all in-tree call
+    sites are inside @nn.compact bodies, where inline submodule construction
+    is legal. Plain-function contexts should use 'lrelu' explicitly.
+    """
     if not act_type:
         return lambda x: x
     act_type = act_type.lower()
+    if act_type == "prelu":
+        return nn.PReLU(negative_slope_init=0.25)
     table = {
         "relu": nn.relu,
         "leakyrelu": lambda x: nn.leaky_relu(x, neg_slope),
         "lrelu": lambda x: nn.leaky_relu(x, neg_slope),
-        "prelu": lambda x: nn.leaky_relu(x, neg_slope),  # static-slope approx
         "tanh": jnp.tanh,
         "sigmoid": nn.sigmoid,
         "swish": nn.swish,
@@ -219,12 +226,7 @@ class ConvBlock(nn.Module):
                 return nn.LayerNorm(dtype=self.dtype)
             raise NotImplementedError(f"norm [{self.norm_type}] not found")
 
-        if self.act_type and self.act_type.lower() == "prelu":
-            # real learned-slope PReLU (torch nn.PReLU, scalar parameter);
-            # the table entry is a static approximation for plain-fn sites
-            a = nn.PReLU()
-        else:
-            a = act(self.act_type)
+        a = act(self.act_type)
         if self.mode in ("CNA", "CNAC"):
             if not partial:
                 x = explicit_pad(x, pad, self.pad_type)
@@ -331,8 +333,9 @@ class SelfAttentionBlock(nn.Module):
             h, w = x.shape[1], x.shape[2]
 
         def conv1x1(feats, name):
-            conv = nn.Conv(feats, (1, 1), use_bias=False, dtype=self.dtype,
-                           name=name)
+            # bias on: the reference's f/g/h are default-bias Conv1d
+            # (ref ASRResNet_arch.py:81-83, block.py:682-691)
+            conv = nn.Conv(feats, (1, 1), dtype=self.dtype, name=name)
             if self.spectral_norm:
                 conv = nn.SpectralNorm(conv)
                 return lambda y: conv(y, update_stats=train)

@@ -494,8 +494,8 @@ class SRTrainer:
         atg_on = self.use_atg and step >= self.atg_start_iter
         fn = self._get_step_fn(update_d, update_g, atg_on)
         state, logs = fn(state, batch, jnp.float32(lr_g), jnp.float32(lr_d))
-        if self.use_swa and self.swa_start_iter and \
-                step >= self.swa_start_iter:
+        # gate only on use_swa: swa_start_iter=0 means "from the beginning"
+        if self.use_swa and step >= self.swa_start_iter:
             if state.swa_params is None:
                 state = init_swa(state)
             state = swa_update(state)

@@ -85,20 +85,53 @@ def load_state(path: str, target: Any):
     return state, meta
 
 
+def _state_iter(state_dir: str, fname: str) -> int:
+    """Iteration number a .state file represents: parsed from the numeric
+    stem, else from the JSON sidecar (covers 'latest.state'), else -1."""
+    stem = fname[: -len(STATE_EXT)]
+    if stem.isdigit():
+        return int(stem)
+    sidecar = os.path.join(state_dir, fname + ".json")
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as f:
+                return int(json.load(f).get("iter", -1))
+        except (ValueError, OSError, json.JSONDecodeError):
+            return -1
+    return -1
+
+
 def latest_state_path(state_dir: str) -> Optional[str]:
-    """Find the newest .state file in a dir (ref train.py:85-100)."""
+    """Find the newest .state file in a dir (ref train.py:85-100).
+
+    Selects by the iteration each file actually represents — NOT by name
+    sort, which would rank 'previous_*' backups (written by the
+    SIGTERM/preemption path) above 'latest.state'/'10000.state' and roll
+    training back on auto-resume. 'previous_*' backups are excluded; among
+    equal iters the most recently modified file wins.
+    """
     if not os.path.isdir(state_dir):
         return None
-    states = [f for f in os.listdir(state_dir) if f.endswith(STATE_EXT)]
+    states = [f for f in os.listdir(state_dir)
+              if f.endswith(STATE_EXT) and not f.startswith("previous_")]
     if not states:
         return None
-    return os.path.join(state_dir, sorted_nicely(states)[-1])
+    best = max(states, key=lambda f: (
+        _state_iter(state_dir, f),
+        os.path.getmtime(os.path.join(state_dir, f))))
+    return os.path.join(state_dir, best)
 
 
 def save_checkpoint(state: Any, opt: dict, epoch: int, niter: int,
                     latest_only: bool = False) -> None:
     """Save per-network params + full training state
-    (ref train.py:283-296 + base_model.save/save_training_state)."""
+    (ref train.py:283-296 + base_model.save/save_training_state).
+
+    Single-writer: only process 0 writes (params are replicated across
+    hosts), matching the module docstring and save_state's guard.
+    """
+    if jax.process_index() != 0:
+        return
     model_dir = opt["path"]["models"]
     state_dir = opt["path"]["training_state"]
     tag = "latest" if latest_only else str(niter)

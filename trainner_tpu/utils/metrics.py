@@ -118,9 +118,16 @@ class MetricsDict:
     Images are HWC RGB float [0,1] or uint8 [0,255].
     """
 
-    def __init__(self, metrics: str = "psnr", lpips_model=None):
+    def __init__(self, metrics: str = "psnr", lpips_model=None,
+                 lpips_weights: Optional[str] = None):
         self.names = [m.strip().lower() for m in metrics.split(",") if m.strip()]
         self.results: List[Dict[str, float]] = []
+        if lpips_model is None and "lpips" in self.names:
+            # loud by design: requesting lpips without weights must fail at
+            # setup, not silently score with a random-init net
+            from ..losses.lpips import LPIPSMetric
+            lpips_model = LPIPSMetric(net="squeeze",
+                                      weights_path=lpips_weights)
         self._lpips = lpips_model
 
     def calculate_metrics(self, sr: np.ndarray, gt: np.ndarray,
@@ -144,7 +151,7 @@ class MetricsDict:
                 entry["ssim"] = calculate_ssim(sr_c, gt_c)
             elif m == "lpips" and self._lpips is not None:
                 entry["lpips"] = float(self._lpips(sr, gt))
-            # unknown/unavailable metrics are skipped (lpips w/o weights)
+            # unknown metric names are skipped
         self.results.append(entry)
         return entry
 
