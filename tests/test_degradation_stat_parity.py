@@ -1,0 +1,322 @@
+"""Statistical parity gate: on-device degradation pipeline vs the
+reference's aug_pipeline, per preset strategy (SURVEY §7.2 step 6 gate;
+VERDICT r1 missing #2).
+
+For each preset axis (bsrgan / resrgan / realsr) a fixed crop is pushed
+N times through BOTH pipelines — the reference's per-sample OpenCV
+transform chain (imported read-only from /root/reference, resolved with
+the reference's own options.parse_datasets preset overlay) and our
+batched on-device BatchDegrader — and the output DISTRIBUTIONS are
+compared:
+
+  * PSNR-to-clean mean within 1.5 dB and std within 1.5 dB
+  * pixel mean within 0.03, pixel std within 0.03
+  * mean log radial power spectrum L1 within 0.2
+
+Tolerances calibrated against N=64 runs (observed: bsrgan 1.0 dB /
+spec 0.08, resrgan 1.1 dB / spec 0.08); sampling noise at N=48 is
+~0.5 dB. Known approximations (documented in data/pipeline.py): the
+reference resizes to per-sample random intermediate sizes while we keep
+static shapes and scale noise/compression residuals by the equivalent
+attenuation distribution (_atten_factor); our pipeline-order shuffle is
+per batch (bounded order set), the reference's per sample.
+"""
+
+import collections
+import collections.abc
+import os
+import random
+import sys
+
+import numpy as np
+import pytest
+
+for _n in ("Iterable", "Sequence", "Mapping", "Callable"):
+    if not hasattr(collections, _n):
+        setattr(collections, _n, getattr(collections.abc, _n))
+
+REF = "/root/reference/codes"
+SAMPLE = "/root/reference/data_samples/samples/OST_013.png"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not mounted")
+
+cv2 = pytest.importorskip("cv2")
+
+SCALE, CROP, N = 4, 128, 48
+
+
+def _setup_reference():
+    from test_esrgan_output_parity import _stub_torchvision_full
+
+    _stub_torchvision_full()
+    if REF not in sys.path:
+        sys.path.append(REF)
+    import dataops.augmennt.augmennt.camera as ref_cam
+    import dataops.augmennt.augmennt.extra_functional as ref_ef
+
+    def make_img_even(img, border=cv2.BORDER_REFLECT101):
+        # the reference passes bools to copyMakeBorder (OpenCV>=5 rejects)
+        h, w = img.shape[0:2]
+        bottom = int(h % 2 == 1)
+        right = int(w % 2 == 1)
+        if bottom or right:
+            return cv2.copyMakeBorder(img, 0, bottom, 0, right, border)
+        return img
+
+    ref_cam.make_img_even = make_img_even
+    ref_ef.make_img_even = make_img_even
+
+
+def _ref_resolved_opt(strategy, extra=None):
+    import options.options as ref_options
+
+    ds = {"name": "parity", "mode": "aligned", "phase": "train",
+          "dataroot_HR": "/tmp/x", "dataroot_LR": None,
+          "augs_strategy": strategy, "crop_size": CROP,
+          "resize_strat": "in"}
+    ds.update(extra or {})
+    opt = ref_options.dict_to_nonedict({"datasets": {"train": ds}})
+    cwd = os.getcwd()
+    os.chdir(REF)  # find_preset_file uses a relative presets root
+    try:
+        ref_options.parse_datasets(opt, scale=SCALE)
+    finally:
+        os.chdir(cwd)
+    out = opt["datasets"]["train"]
+    out["resize_strat"] = "in"
+    return out
+
+
+def _ref_samples(strategy, crop_bgr_u8, n, extra=None):
+    from dataops.augmentations import (get_augmentations, get_ds_kernels,
+                                       get_noise_patches,
+                                       get_unpaired_params)
+
+    ds = _ref_resolved_opt(strategy, extra)
+    random.seed(0)
+    np.random.seed(0)
+    ds_kernels = get_ds_kernels(ds) \
+        if 999 in (ds.get("lr_downscale_types") or []) else None
+    noise_patches = get_noise_patches(ds) \
+        if "patches" in (ds.get("lr_noise_types") or []) else None
+    outs = []
+    for _ in range(n):
+        lr_p, _hr = get_unpaired_params(ds)
+        tf = get_augmentations(ds, params=lr_p,
+                               noise_patches=noise_patches,
+                               ds_kernels=ds_kernels)
+        o = tf(crop_bgr_u8.copy())
+        outs.append(o[:, :, ::-1].astype(np.float32) / 255.0)
+    return np.stack(outs)
+
+
+def _our_samples(strategy, crop_rgb_f32, n, extra=None):
+    import jax
+    import jax.numpy as jnp
+
+    from trainner_tpu.data.pipeline import (BatchDegrader,
+                                            get_unpaired_params)
+    from trainner_tpu.options.config import parse_dict
+
+    ds_in = {"name": "p", "mode": "aligned", "dataroot_HR": "/tmp/x",
+             "augs_strategy": strategy, "crop_size": CROP,
+             "batch_size": 4, "resize_strat": "in"}
+    ds_in.update(extra or {})
+    opt = {"scale": SCALE, "model": "sr", "datasets": {"train": ds_in}}
+    ds = parse_dict(opt, is_train=True)["datasets"]["train"]
+    lr_p, _hr = get_unpaired_params(ds)
+    deg = BatchDegrader(ds, "lr", lr_p)
+    bs = 16
+    x = jnp.asarray(np.repeat(crop_rgb_f32[None], bs, 0))
+    outs = []
+    for i in range(max(1, -(-n // bs))):
+        outs.append(np.asarray(deg(jax.random.PRNGKey(i), x)))
+    return np.concatenate(outs)[:n]
+
+
+def _psnr_set(outs, clean):
+    mse = np.mean((outs - clean[None]) ** 2, axis=(1, 2, 3))
+    return 10 * np.log10(1.0 / np.maximum(mse, 1e-10))
+
+
+def _radial_spectrum(outs):
+    f = np.fft.fftshift(np.abs(np.fft.fft2(
+        outs.mean(-1), axes=(1, 2))) ** 2, axes=(1, 2))
+    h, w = f.shape[1:3]
+    yy, xx = np.mgrid[:h, :w]
+    r = np.hypot(yy - h / 2, xx - w / 2).astype(int)
+    prof = np.stack([f[:, r == b].mean(axis=1)
+                     for b in range(r.max() + 1)], axis=1)
+    return np.log10(prof.mean(0) + 1e-12)
+
+
+@pytest.fixture(scope="module")
+def crops():
+    img = cv2.imread(SAMPLE)
+    assert img is not None
+    crop_bgr = img[100:100 + CROP, 200:200 + CROP]
+    crop_rgb = crop_bgr[:, :, ::-1].astype(np.float32) / 255.0
+    from trainner_tpu.ops.imresize import imresize_np
+
+    clean = np.clip(imresize_np(crop_rgb, 1.0 / SCALE, kernel="cubic"),
+                    0, 1)
+    return crop_bgr, crop_rgb, clean
+
+
+@pytest.fixture(scope="module")
+def realsr_assets(tmp_path_factory):
+    """Synthetic KernelGAN-style kernel pool + real-noise patch corpus,
+    written in both layouts (reference: <dir>/<k>/kernel_x4.npy; ours:
+    flat <dir>/*.npy)."""
+    root = tmp_path_factory.mktemp("realsr_assets")
+    kdir_ref = root / "kernels_ref"
+    kdir_flat = root / "kernels_flat"
+    ndir = root / "noise"
+    for d in (kdir_ref, kdir_flat, ndir):
+        d.mkdir()
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[:13, :13] - 6.0
+    for i in range(6):
+        sx, sy = rng.uniform(0.8, 2.5, 2)
+        th = rng.uniform(0, np.pi)
+        xr = np.cos(th) * xx + np.sin(th) * yy
+        yr = -np.sin(th) * xx + np.cos(th) * yy
+        k = np.exp(-0.5 * ((xr / sx) ** 2 + (yr / sy) ** 2))
+        k = (k / k.sum()).astype(np.float64)
+        sub = kdir_ref / f"im_{i}"
+        sub.mkdir()
+        np.save(str(sub / "kernel_x4.npy"), k)
+        np.save(str(kdir_flat / f"kernel_{i}.npy"), k)
+    for i in range(4):
+        noise = rng.normal(0.0, 6.0, (64, 64, 3))
+        img = np.clip(128.0 + noise, 0, 255).astype(np.uint8)
+        cv2.imwrite(str(ndir / f"n_{i}.png"), img)
+    return str(kdir_ref), str(kdir_flat), str(ndir)
+
+
+def _gate(tag, ref, ours, clean):
+    p_r, p_o = _psnr_set(ref, clean), _psnr_set(ours, clean)
+    s_r, s_o = _radial_spectrum(ref), _radial_spectrum(ours)
+    d_mean = abs(p_r.mean() - p_o.mean())
+    d_std = abs(p_r.std() - p_o.std())
+    d_pix = abs(ref.mean() - ours.mean())
+    d_pixstd = abs(ref.std() - ours.std())
+    d_spec = np.abs(s_r - s_o).mean()
+    msg = (f"[{tag}] psnr ref {p_r.mean():.2f}±{p_r.std():.2f} vs ours "
+           f"{p_o.mean():.2f}±{p_o.std():.2f}; pixmean d={d_pix:.4f}; "
+           f"spec L1={d_spec:.3f}")
+    assert d_mean < 1.5, msg
+    assert d_std < 1.5, msg
+    assert d_pix < 0.03, msg
+    assert d_pixstd < 0.03, msg
+    assert d_spec < 0.2, msg
+
+
+@pytest.mark.parametrize("strategy", ["bsrgan", "resrgan"])
+def test_preset_pipeline_statistical_parity(strategy, crops):
+    _setup_reference()
+    crop_bgr, crop_rgb, clean = crops
+    ref = _ref_samples(strategy, crop_bgr, N)
+    ours = _our_samples(strategy, crop_rgb, N)
+    assert ours.shape[1:3] == (CROP // SCALE, CROP // SCALE)
+    _gate(strategy, ref, ours, clean)
+
+
+def test_realsr_pipeline_statistical_parity(crops, realsr_assets):
+    """realsr: realistic (KernelGAN-pool) downscale + real noise patches
+    (ref presets realsr_resize/realsr_noise), shared synthetic assets."""
+    _setup_reference()
+    crop_bgr, crop_rgb, clean = crops
+    kdir_ref, kdir_flat, ndir = realsr_assets
+    ref = _ref_samples("realsr", crop_bgr, N,
+                       extra={"dataroot_kernels": kdir_ref,
+                              "noise_data": ndir,
+                              "noise_data_size": 64})
+    ours = _our_samples("realsr", crop_rgb, N,
+                        extra={"dataroot_kernels": kdir_flat,
+                               "noise_data": ndir})
+    assert ours.shape[1:3] == (CROP // SCALE, CROP // SCALE)
+    _gate("realsr", ref, ours, clean)
+
+
+def test_gaussian_noise_op_parity(crops):
+    """Single-op gate: gaussian noise, bsrgan config (sigma_calc='sig',
+    MC-AWGN 33% of color draws) — ref transforms.py:1509."""
+    _setup_reference()
+    from dataops.augmennt.augmennt import transforms as T
+
+    crop_bgr, crop_rgb, clean = crops
+    lr_bgr = cv2.resize(crop_bgr, (32, 32), interpolation=cv2.INTER_AREA)
+    lr_rgb = lr_bgr[:, :, ::-1].astype(np.float32) / 255.0
+    random.seed(0)
+    np.random.seed(0)
+    ref = []
+    for _ in range(128):
+        tf = T.RandomGaussianNoise(p=1.0, mean=0.0, var_limit=[1, 25],
+                                   prob_color=0.6, multi=True)
+        ref.append(tf(lr_bgr.copy())[:, :, ::-1].astype(np.float32) / 255.)
+    ref = np.stack(ref)
+
+    import jax
+    import jax.numpy as jnp
+
+    from trainner_tpu.ops.degradations import gaussian_noise
+
+    x = jnp.asarray(np.repeat(lr_rgb[None], 128, 0))
+    ours = np.asarray(gaussian_noise(jax.random.PRNGKey(0), x,
+                                     sigma_range=(1.0, 25.0),
+                                     gray_prob=0.4, mc_prob=0.34))
+    p_r = _psnr_set(ref, lr_rgb)
+    p_o = _psnr_set(np.clip(ours, 0, 1), lr_rgb)
+    assert abs(p_r.mean() - p_o.mean()) < 1.0, (p_r.mean(), p_o.mean())
+
+
+def test_jpeg_op_parity_fixed_quality(crops):
+    """Single-op gate: DCT-domain JPEG vs cv2 libjpeg at fixed qualities
+    (4:2:0 chroma subsampling) — within 0.6 dB at every quality."""
+    crop_bgr, crop_rgb, clean = crops
+    lr_bgr = cv2.resize(crop_bgr, (32, 32), interpolation=cv2.INTER_AREA)
+    lr_rgb = lr_bgr[:, :, ::-1].astype(np.float32) / 255.0
+
+    import jax
+    import jax.numpy as jnp
+
+    from trainner_tpu.ops.degradations import jpeg_compress
+
+    for q in (30, 50, 70, 90):
+        ok, enc = cv2.imencode(".jpg", lr_bgr,
+                               [cv2.IMWRITE_JPEG_QUALITY, q])
+        assert ok
+        ref = cv2.imdecode(enc, cv2.IMREAD_COLOR)[:, :, ::-1].astype(
+            np.float32) / 255.0
+        x = jnp.asarray(lr_rgb[None])
+        ours = np.asarray(jpeg_compress(
+            jax.random.PRNGKey(0), x,
+            quality=jnp.asarray([float(q)])))[0]
+        p_ref = _psnr_set(ref[None], lr_rgb)[0]
+        p_our = _psnr_set(ours[None], lr_rgb)[0]
+        assert abs(p_ref - p_our) < 0.6, (q, p_ref, p_our)
+
+
+def test_sinc_kernel_matches_scipy():
+    """Our Bessel-J1 sinc kernel matches the reference's scipy j1 form
+    (ref spadd.py:16 get_sinc_kernel) to 5e-4."""
+    scipy_special = pytest.importorskip("scipy.special")
+
+    import jax
+
+    from trainner_tpu.ops.degradations import sinc_kernels
+
+    def ref_kernel(cutoff, k, eps=1e-8):
+        kern = np.fromfunction(
+            lambda x, y: cutoff * scipy_special.j1(
+                cutoff * np.hypot(x - (k - 1) / 2, y - (k - 1) / 2))
+            / (2 * np.pi * np.hypot(x - (k - 1) / 2,
+                                    y - (k - 1) / 2) + eps), [k, k])
+        kern[(k - 1) // 2, (k - 1) // 2] = cutoff ** 2 / (4 * np.pi)
+        return kern / kern.sum()
+
+    for co in (0.7, 1.2, 2.0, 3.0):
+        ours = np.asarray(sinc_kernels(jax.random.PRNGKey(0), 1, 21,
+                                       cutoff_range=(co, co)))[0]
+        assert np.abs(ours - ref_kernel(co, 21)).max() < 5e-4, co

@@ -48,7 +48,8 @@ def test_apply_kernels_smooths():
 
 def test_gaussian_noise_scales():
     x = jnp.full((4, 32, 32, 3), 0.5)
-    y = D.gaussian_noise(RNG, x, (10.0, 10.0), gray_prob=0.0)
+    y = D.gaussian_noise(RNG, x, (10.0, 10.0), gray_prob=0.0,
+                         mc_prob=0.0)
     resid = np.asarray(y - x)
     assert abs(resid.std() - 10.0 / 255.0) < 2e-3
 
@@ -61,7 +62,12 @@ def test_salt_pepper_bounds():
 
 
 def test_jpeg_quality_ordering():
+    # smooth-ish content: pixel noise is the worst case for the 4:2:0
+    # chroma subsampling (matching libjpeg) so pure-uniform noise would
+    # show a large constant chroma error at any quality
     x = jax.random.uniform(RNG, (1, 64, 64, 3))
+    k = D.gaussian_kernels(RNG, 1, 9, (1.5, 1.5))
+    x = jnp.clip(D.apply_kernels(x, k), 0.0, 1.0)
     hi = D.jpeg_compress(RNG, x, quality=jnp.array([95.0]))
     lo = D.jpeg_compress(RNG, x, quality=jnp.array([10.0]))
     err_hi = float(jnp.abs(hi - x).mean())
@@ -104,6 +110,7 @@ def test_batch_degrader_full_pipeline():
            "lr_blur": True, "blur_prob": 1.0,
            "lr_blur_types": ["iso", "sinc"],
            "lr_downscale": True, "lr_downscale_types": [1, 2],
+           "resize_strat": "in",
            "lr_noise": True, "lr_noise_types": ["gaussian", "jpeg"],
            "aug_configs": {}}
     deg = BatchDegrader(opt, "lr")
@@ -116,7 +123,8 @@ def test_batch_degrader_full_pipeline():
 
 
 def test_batch_degrader_matlab_resize_code():
-    opt = {"scale": 2, "lr_downscale": True, "lr_downscale_types": [998]}
+    opt = {"scale": 2, "lr_downscale": True, "resize_strat": "in",
+           "lr_downscale_types": [777]}  # 777 = MATLAB cubic (ref codes)
     deg = BatchDegrader(opt, "lr")
     x = jax.random.uniform(RNG, (1, 32, 32, 3))
     y = deg(RNG, x)
@@ -141,13 +149,16 @@ def test_camera_noise_smooth_roundtrip():
 
     x = jnp.broadcast_to(jnp.linspace(0.2, 0.8, 32)[None, :, None, None],
                          (1, 32, 32, 3)).transpose(0, 2, 1, 3)
-    y = camera_noise(RNG, x, shot_range=(1e-12, 1e-12),
-                     read_range=(1e-12, 1e-12), gain_range=(1.0, 1.0))
-    # smooth content survives the mosaic/demosaic roundtrip
-    assert float(jnp.abs(y - x).mean()) < 5e-3
-    y2 = camera_noise(RNG, x, shot_range=(1e-2, 1e-2),
-                      read_range=(1e-3, 1e-3))
-    assert float(jnp.abs(y2 - x).mean()) > 1e-3  # noise applied
+    # the full ISP keeps a persistent rgb_gain brightness shift and
+    # tonemap/CCM roundtrips (ref camera.py unprocess/process), so even
+    # noiseless output differs from the input by a global shift; smooth
+    # content should survive up to that shift
+    y = camera_noise(RNG, x, shot_range=(1e-12, 2e-12),
+                     gain_range=(1.0, 1.0))
+    gain = float(jnp.mean(y) / jnp.mean(x))
+    assert float(jnp.abs(y / gain - x).mean()) < 0.04
+    y2 = camera_noise(RNG, x, shot_range=(1e-2, 1.1e-2))
+    assert float(jnp.abs(y2 - y).mean()) > 1e-3  # noise applied
 
 
 def test_noise_stage_camera_and_superpixels():
@@ -207,7 +218,7 @@ def test_pipeline_realistic_kernel_999(tmp_path):
     for i in range(2):
         k = rng.random((13, 13))
         np.save(str(kd / f"k{i}.npy"), k / k.sum())
-    opt = {"scale": 2, "lr_downscale": True,
+    opt = {"scale": 2, "lr_downscale": True, "resize_strat": "in",
            "lr_downscale_types": [999, 2],
            "dataroot_kernels": str(kd)}
     deg = BatchDegrader(opt, "lr")

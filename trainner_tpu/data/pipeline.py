@@ -14,6 +14,19 @@ Per-sample *type* choices are branch-free one-hot mixes; per-sample
 by drawing one order per call from a precompiled set of permutations
 (cached jit specializations, bounded).
 
+Static-shape emulation of the reference's dynamic intermediate sizes:
+the reference's in-pipeline resize lands at a per-sample random size X
+(adj_scale_config) and final_scale snaps to the LR size, so noise /
+compression injected after the resize is attenuated by ~LR/X by the
+final antialiased downscale. Here the resize goes straight to the LR
+size (static shapes for XLA) and noise-stage residuals are scaled per
+sample by the equivalent attenuation distribution (_atten_factor,
+derived from the resize config + chosen algo class). The final
+compression-vs-scale order coin (ref aug_pipeline:1780) is per-sample
+and branch-free (both orders computed, one-hot mixed). Gated
+statistically against the reference per preset in
+tests/test_degradation_stat_parity.py.
+
 Camera-ISP noise and SLIC superpixels run ON DEVICE too
 (ops/degradations.camera_noise, ops/superpixel). Ops with no efficient
 device form (CLAHE, real noise patches, SOM quantization) substitute
@@ -89,9 +102,15 @@ def _collect(opt: dict, keys) -> Dict[str, dict]:
 
 def get_unpaired_params(opt: dict) -> Tuple[dict, dict]:
     """Split dataset options into lr/hr aug param dicts
-    (same surface as ref augmentations.py:1510)."""
+    (same surface as ref augmentations.py:1510). In-pipeline resize
+    stages only activate when 'in' in resize_strat (ref :1560) — with
+    the default 'pre' strategy the downscale happens in the dataset
+    (LR generation), not inside the degradation pipeline."""
     lr_augs = _collect(opt, _AUG_KEYS)
     hr_augs = _collect(opt, _HR_AUG_KEYS)
+    if "in" not in str(opt.get("resize_strat") or "pre"):
+        for k in ("resize", "resize2", "final_scale"):
+            lr_augs.pop(k, None)
     if opt.get("shuffle_degradations"):
         lr_augs["random_shuffle"] = True
     if lr_augs:
@@ -124,29 +143,54 @@ def _with_prob(fn: Callable, prob: float) -> Callable:
     return wrapped
 
 
+def _cfg_for(cfgs: Dict[str, dict], t: str, cycle: int = 1) -> dict:
+    """Cycle-aware per-op config lookup (ref get_aug_configs: stage-2
+    kinds prefer the '<type>2' preset entry, e.g. aniso2/camera2)."""
+    if cycle == 2:
+        return cfgs.get(t + "2") or cfgs.get(t) or {}
+    return cfgs.get(t) or cfgs.get(t + "2") or {}
+
+
 def _blur_stage(types: Sequence[str], cfgs: Dict[str, dict],
-                prob: float, weights=None) -> Callable:
+                prob: float, weights=None, cycle: int = 1) -> Callable:
+    """Per-sample weighted blur-type choice -> per-sample kernel. Each
+    type applies with its own config `p` (ref transforms default 0.5,
+    presets set it explicitly) — misses blend in an identity kernel."""
     types = [str(t).lower() for t in types] or ["gaussian"]
 
     def fn(rng, x):
         b = x.shape[0]
         banks = []
-        rngs = jax.random.split(rng, len(types) + 1)
-        for t, r in zip(types, rngs[:-1]):
-            cfg = cfgs.get(t, {}) or cfgs.get(t + "2", {}) or {}
+        probs = []
+        rngs = jax.random.split(rng, len(types) + 2)
+        for t, r in zip(types, rngs[:-2]):
+            cfg = _cfg_for(cfgs, t, cycle)
             k = int(cfg.get("kernel_size", 21))
+            mk = int(cfg.get("min_kernel_size", 1) or 1)
+            probs.append(float(cfg.get("p", 0.5)))
             if t in ("iso", "gaussian"):
                 sx = cfg.get("sigmaX") or [0.1, 2.8]
                 banks.append(D.gaussian_kernels(
-                    r, b, k, tuple(map(float, sx)), iso_prob=1.0))
+                    r, b, k, tuple(map(float, sx)), iso_prob=1.0,
+                    min_size=mk))
             elif t in ("aniso", "bilateral"):
                 sx = cfg.get("sigmaX") or [0.5, 8.0]
                 sy = cfg.get("sigmaY") or sx
+                ang = cfg.get("angle")
+                ang_r = tuple(math.radians(float(a)) for a in ang) \
+                    if ang else None
                 banks.append(D.gaussian_kernels(
                     r, b, k, tuple(map(float, sx)), iso_prob=0.0,
-                    sigma_y_range=tuple(map(float, sy))))
+                    sigma_y_range=tuple(map(float, sy)), min_size=mk,
+                    angle_range=ang_r))
             elif t in ("sinc",):
-                banks.append(D.sinc_kernels(r, b, k))
+                # min_cutoff set -> FIXED cutoff (ref RandomSincBlur:
+                # `if self.cutoff: cutoff = self.cutoff`)
+                mc = cfg.get("min_cutoff")
+                banks.append(D.sinc_kernels(
+                    r, b, k,
+                    cutoff_range=(float(mc), float(mc)) if mc else None,
+                    min_size=max(mk, 7)))
             elif t in ("motion", "complexmotion", "complex_motion"):
                 banks.append(D.motion_kernels(r, b, k))
             elif t in ("average", "box", "median"):
@@ -159,28 +203,103 @@ def _blur_stage(types: Sequence[str], cfgs: Dict[str, dict],
                               ((kmax - kk.shape[-1]) // 2,) * 2,
                               ((kmax - kk.shape[-1]) // 2,) * 2])
                  for kk in banks]
+        # per-type application probability: blend a delta (identity)
+        # kernel per sample that skips the blur
+        delta = jnp.zeros((kmax, kmax)).at[kmax // 2, kmax // 2].set(1.0)
+        if any(p < 1.0 for p in probs):
+            r_p = rngs[-2]
+            u = jax.random.uniform(r_p, (b, len(banks), 1, 1))
+            pv = jnp.asarray(probs)[None, :, None, None]
+            banks = [jnp.where(u[:, i] < pv[:, i], kk, delta[None])
+                     for i, kk in enumerate(banks)]
         kern = D.select_kernels(rngs[-1], banks, weights=weights)
         return D.apply_kernels(x, kern)
 
     return _with_prob(fn, prob)
 
 
+def _atten_factor(rng, b: int, res_cfg: dict, scale: int,
+                  res_types: Sequence[int] = ()):
+    """Per-sample residual attenuation v = LR_size / X for a noise op
+    injected at the reference's intermediate size X (ref
+    adj_scale_config:58). The distribution of X depends on the resize1
+    algo the reference drew for that sample:
+      plain kernels: branch ~ resize_prob {up, down, keep};
+        down: X = H*U(range_down); up: X = H*U(range_up); keep: X = H
+      997 nearest_aligned: scale' = choice([ceil(s/2), s]) -> X = H/scale'
+      998 down_up: s' ~ U(ceil(s/2), s), a ~ U(du_min, s'), X = H*a/s'
+    The final antialiased downscale to LR attenuates the op's residual
+    by ~min(v, 1)."""
+    r1, r2, r3, r4, r5, r6 = jax.random.split(rng, 6)
+    # plain-kernel branch
+    probs = dict(res_cfg.get("resize_prob") or {"down": 1.0})
+    p_up = float(probs.get("up", 0.0))
+    p_down = float(probs.get("down", 1.0))
+    p_keep = float(probs.get("keep", 0.0))
+    tot = max(p_up + p_down + p_keep, 1e-8)
+    rd = res_cfg.get("resize_range_down") or [1.0 / scale, 2.0 / scale]
+    ru = res_cfg.get("resize_range_up") or [1.0, 1.5]
+    sc_d = jax.random.uniform(r1, (b,), minval=float(rd[0]),
+                              maxval=float(rd[1]))
+    sc_u = jax.random.uniform(r2, (b,), minval=float(ru[0]),
+                              maxval=float(ru[1]))
+    v_down = jnp.clip(1.0 / (scale * sc_d), 0.0, 1.0)
+    v_up = jnp.clip(1.0 / (scale * sc_u), 0.0, 1.0)
+    v_keep = jnp.full((b,), 1.0 / scale)
+    u = jax.random.uniform(r3, (b,)) * tot
+    v_plain = jnp.where(u < p_down, v_down,
+                        jnp.where(u < p_down + p_up, v_up, v_keep))
+    algos = [t for t in res_types if isinstance(t, int)]
+    cands = [v_plain] * max(
+        len([t for t in algos if t not in (995, 996, 997, 998, 999)]), 1)
+    half = -(-scale // 2)
+    if any(t in (995, 997) for t in algos):
+        coin = jax.random.uniform(r4, (b,)) < 0.5
+        cands.append(jnp.where(coin, jnp.full((b,), half / scale),
+                               jnp.ones((b,))))
+    if any(t == 998 for t in algos):
+        sp = jax.random.uniform(r5, (b,), minval=float(half),
+                                maxval=float(scale))
+        du_min = float(res_cfg.get("down_up_min", 0.5) or 0.5)
+        a = du_min + jax.random.uniform(r5, (b,)) * (sp - du_min)
+        cands.append(jnp.clip(sp / (scale * a), 0.0, 1.0))
+    if any(t == 999 for t in algos):
+        cands.append(jnp.ones((b,)))  # realistic kernel: exact LR size
+    if len(cands) == 1:
+        return cands[0]
+    choice = jax.random.randint(r6, (b,), 0, len(cands))
+    stack = jnp.stack(cands, axis=1)
+    onehot = jax.nn.one_hot(choice, len(cands))
+    return jnp.sum(stack * onehot, axis=1)
+
+
 def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
-                 prob: float, weights=None) -> Callable:
+                 prob: float, weights=None,
+                 atten: Optional[dict] = None, cycle: int = 1) -> Callable:
     """Per-sample choice among noise types (one-hot mixture, optionally
-    weighted — ref get_weighted_choice:1417)."""
+    weighted — ref get_weighted_choice:1417). Each type applies with its
+    config `p` (ref transforms default 0.5). atten: {res_cfg, scale} —
+    scales each op's residual per sample by the attenuation the
+    reference's final downscale would apply (see _atten_factor)."""
     raw = [str(t).lower() for t in types] or ["gaussian"]
     types = [t if (t in _DEVICE_NOISE or "dither" in t or "quantize" in t)
              else "gaussian" for t in raw]
 
     def make_op(t: str) -> Callable:
-        cfg = cfgs.get(t, {}) or {}
+        cfg = _cfg_for(cfgs, t, cycle)
         if t == "gaussian":
-            var = cfg.get("var_limit") or [1.0, 30.0]
-            sig = (math.sqrt(float(var[0])), math.sqrt(float(var[1])))
+            var = cfg.get("var_limit") or [1.0, 25.0]
+            # ref default sigma_calc='sig': var_limit IS the sigma range
+            # (0-255 units); 'var' takes sqrt (transforms.py:1589-1596)
+            if str(cfg.get("sigma_calc", "sig")) == "var":
+                sig = (math.sqrt(float(var[0])), math.sqrt(float(var[1])))
+            else:
+                sig = (float(var[0]), float(var[1]))
+            mc = 0.34 if cfg.get("multi", True) else 0.0
             return partial(D.gaussian_noise, sigma_range=sig,
                            gray_prob=1.0 - float(cfg.get("prob_color",
-                                                         0.6)))
+                                                          0.5)),
+                           mc_prob=mc)
         if t in ("jpeg", "webp"):
             qr = (float(cfg.get("min_quality", 30)),
                   float(cfg.get("max_quality", 95)))
@@ -224,7 +343,13 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
             return lambda rng, x: jnp.max(
                 x, axis=-1, keepdims=True).repeat(x.shape[-1], -1)
         if t == "camera":
-            return partial(D.camera_noise)
+            return partial(
+                D.camera_noise,
+                gain_range=tuple(map(float, cfg.get("rg_range")
+                                     or (1.2, 2.4))),
+                bg_range=tuple(map(float, cfg.get("bg_range")
+                                   or (1.2, 2.4))),
+                xyz_arr=str(cfg.get("xyz_arr", "D50")))
         if t == "superpixels":
             from ..ops.superpixel import superpixel_structure
 
@@ -234,14 +359,36 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
         return partial(D.gaussian_noise)
 
     ops = [make_op(t) for t in types]
+    # per-op application probability from its config (ref RandomBase
+    # default p=0.5; presets set explicit p, e.g. jpeg 0.75, camera 0.25)
+    op_ps = [float(_cfg_for(cfgs, t, cycle).get("p", 0.5))
+             for t in types]
 
     def fn(rng, x):
         b = x.shape[0]
-        rngs = jax.random.split(rng, len(ops) + 1)
+        rngs = jax.random.split(rng, len(ops) + 2)
+        v = None
+        if atten is not None:
+            r_v = jax.random.fold_in(rng, 11)
+            v = _atten_factor(r_v, b, atten.get("res_cfg") or {},
+                              int(atten.get("scale", 4)),
+                              atten.get("res_types") or ())[
+                :, None, None, None]
+
+        def gated(op, r, p):
+            y = op(r, x)
+            if y.shape == x.shape and v is not None:
+                y = x + v.astype(x.dtype) * (y - x)
+            if p >= 1.0 or y.shape != x.shape:
+                return y
+            r_p = jax.random.fold_in(r, 7)
+            miss = jax.random.uniform(r_p, (b, 1, 1, 1)) >= p
+            return jnp.where(miss, x, y)
+
         if len(ops) == 1:
-            return ops[0](rngs[0], x)
-        cands = jnp.stack([op(r, x) for op, r in zip(ops, rngs[:-1])],
-                          axis=1)
+            return gated(ops[0], rngs[0], op_ps[0])
+        cands = jnp.stack([gated(op, r, p) for op, r, p
+                           in zip(ops, rngs[:-2], op_ps)], axis=1)
         if weights is not None:
             pw = jnp.asarray(weights, jnp.float32)
             pw = pw / pw.sum()
@@ -256,24 +403,60 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
     return _with_prob(fn, prob)
 
 
-def _resize_stage(types: Sequence[int], out_hw_fn, prob: float = 1.0
-                  ) -> Callable:
+def _resize_stage(types: Sequence[int], out_hw_fn, prob: float = 1.0,
+                  down_up_types: Optional[Sequence[int]] = None,
+                  weights=None) -> Callable:
+    """Per-sample weighted choice among resize types (ref aug_pipeline
+    resize via Scale_class/adj_scale_config). Special codes (reference
+    ints): 997 nearest_aligned, 998 down_up, 999 realistic kernels
+    (handled by the caller via the kernel bank). Candidates are computed
+    at the static target size and mixed one-hot."""
     algos = [t for t in types if isinstance(t, int)]
-    down_up_mode = any(t == 996 for t in algos)
-    aligned = any(t == 995 for t in algos)
-    # drop the special-dispatch codes (995 aligned, 996 down_up, 999
-    # realistic-kernel pool); keep cv2 codes and matlab codes 100-104/998
-    algos = [t for t in algos if t not in (995, 996, 999, 997)] or [2]
+    down_up_mode = any(t == 998 for t in algos)
+    aligned = any(t in (995, 997) for t in algos)
+    plain = [t for t in algos if t not in (995, 996, 997, 998, 999)]
+    n_special = int(down_up_mode) + int(aligned)
+    if not plain and not n_special:
+        plain = [777]
+    du_algos = [t for t in (down_up_types or (773, 777))
+                if isinstance(t, int)] or [773, 777]
 
     def fn(rng, x):
         out_hw = out_hw_fn(x.shape)
-        if down_up_mode and out_hw == x.shape[1:3]:
-            return D.down_up(rng, x, algos=algos)
+        r1, r2, r3 = jax.random.split(rng, 3)
+        cands: List[jnp.ndarray] = []
+        if plain:
+            cands.append(D.random_resize(r1, x, out_hw, plain))
         if aligned:
             s = x.shape[1] // out_hw[0]
             if s > 1 and x.shape[1] % out_hw[0] == 0:
-                return D.nearest_aligned_downscale(x, s)
-        return D.random_resize(rng, x, out_hw, algos)
+                cands.append(D.nearest_aligned_downscale(x, s))
+            else:
+                cands.append(D.random_resize(r1, x, out_hw, [0]))
+        if down_up_mode:
+            if out_hw == x.shape[1:3]:
+                cands.append(D.down_up(r2, x, algos=du_algos))
+            else:
+                # net down_up = milder downscale with a du algo followed
+                # by an extra resample (ref adj_scale_config 998 path:
+                # scale' = U(s/2, s), then final_scale snaps to target)
+                y = D.random_resize(r2, x, out_hw, du_algos)
+                cands.append(D.down_up(r2, y, algos=du_algos,
+                                       scale_range=(1.0, 2.0)))
+        if len(cands) == 1:
+            return cands[0]
+        b = x.shape[0]
+        # choice weights: plain candidate carries len(plain) slots' worth
+        w = [float(len(plain))] if plain else []
+        w += [1.0] * (len(cands) - len(w))
+        pw = jnp.asarray(w, jnp.float32)
+        pw = pw / pw.sum()
+        choice = jax.random.categorical(
+            r3, jnp.log(pw)[None].repeat(b, 0))
+        stack = jnp.stack(cands, axis=1)
+        onehot = jax.nn.one_hot(choice, len(cands),
+                                dtype=x.dtype)[:, :, None, None, None]
+        return jnp.sum(stack * onehot, axis=1)
 
     return _with_prob(fn, prob)
 
@@ -329,10 +512,11 @@ class BatchDegrader:
             if name not in p:
                 continue
             conf = p[name]
+            cyc = 2 if name.endswith("2") else 1
             if name in ("blur", "blur2"):
                 stages.append((name, _blur_stage(
                     conf["types"], cfgs, conf["prob"],
-                    weights=conf.get("weights"))))
+                    weights=conf.get("weights"), cycle=cyc)))
             elif name in ("noise", "noise2", "compression"):
                 types = conf["types"] or (["jpeg"]
                                           if name == "compression" else [])
@@ -345,10 +529,29 @@ class BatchDegrader:
                         lambda rng, x, bank=bank:
                         apply_noise_patches(rng, x, bank),
                         conf["prob"])))
+                elif name in ("noise", "noise2", "compression") \
+                        and "resize" in p:
+                    # two variants: when the shuffled order puts this
+                    # stage AFTER the in-pipeline resize, the reference
+                    # injects noise at an intermediate size in (LR, 2*LR]
+                    # and the final downscale attenuates it (~U(0.5, 1));
+                    # before the resize, the real downscale does the
+                    # attenuation naturally (see _noise_stage)
+                    att_cfg = {"res_cfg": cfgs.get("resize") or {},
+                               "scale": self.scale,
+                               "res_types": (p.get("resize") or {}
+                                             ).get("types") or ()}
+                    stages.append((name, {
+                        "no": _noise_stage(types, cfgs, conf["prob"],
+                                           weights=conf.get("weights"),
+                                           cycle=cyc),
+                        "att": _noise_stage(types, cfgs, conf["prob"],
+                                            weights=conf.get("weights"),
+                                            atten=att_cfg, cycle=cyc)}))
                 else:
                     stages.append((name, _noise_stage(
                         types, cfgs, conf["prob"],
-                        weights=conf.get("weights"))))
+                        weights=conf.get("weights"), cycle=cyc)))
             elif name in ("resize", "resize2"):
                 if kind != "lr":
                     continue
@@ -368,7 +571,9 @@ class BatchDegrader:
                                    apply_kernel_pool(rng, x, bank, sc)))
                 else:
                     stages.append((name, _resize_stage(
-                        conf["types"], out_fn, conf["prob"])))
+                        conf["types"], out_fn, conf["prob"],
+                        down_up_types=dataset_opt.get("down_up_types"),
+                        weights=conf.get("weights"))))
             elif name == "auto_levels":
                 prob = conf["prob"]
                 stages.append((name, _with_prob(
@@ -380,23 +585,30 @@ class BatchDegrader:
                 stages.append((name, _with_prob(D.fringes, conf["prob"])))
         self.stages = stages
 
-        # finals (ref aug_pipeline:1780-1786: compression XOR scale+blur
-        # order flipped by coin; we apply in fixed order scale->blur->comp)
-        finals: List[Tuple[str, Callable]] = []
+        # finals (ref aug_pipeline:1780-1786): [final_scale + final_blur]
+        # and [final_compression] in per-sample random order (coin flip) —
+        # realized branch-free by computing both orders and mixing
+        resize_finals: List[Tuple[str, Callable]] = []
+        comp_finals: List[Tuple[str, Callable]] = []
         if "final_scale" in p and kind == "lr":
-            finals.append(("final_scale", _resize_stage(
+            resize_finals.append(("final_scale", _resize_stage(
                 p["final_scale"]["types"],
-                lambda shape: (shape[1], shape[2]))))
-        if "final_blur" in p:
-            fb = p["final_blur"]
-            types = [t for t in fb["types"] if isinstance(t, str)] \
-                or ["sinc"]
-            finals.append(("final_blur", _blur_stage(types, cfgs,
-                                                     fb["prob"])))
+                lambda shape: (shape[1], shape[2]),
+                weights=p["final_scale"].get("weights"))))
+            if "final_blur" in p:
+                fb = p["final_blur"]
+                types = [t for t in fb["types"] if isinstance(t, str)] \
+                    or ["sinc"]
+                resize_finals.append(("final_blur", _blur_stage(
+                    types, cfgs, fb["prob"])))
         if "final_compression" in p:
-            finals.append(("final_compression", _noise_stage(
-                ["jpeg"], cfgs, p["final_compression"]["prob"])))
-        self.finals = finals
+            fc_types = [t for t in p["final_compression"]["types"]
+                        if isinstance(t, str)] or ["jpeg"]
+            comp_finals.append(("final_compression", _noise_stage(
+                fc_types, cfgs, p["final_compression"]["prob"])))
+        self.finals = resize_finals + comp_finals
+        self._resize_finals = resize_finals
+        self._comp_finals = comp_finals
         self._jitted: Dict[Any, Callable] = {}
 
     @property
@@ -404,13 +616,39 @@ class BatchDegrader:
         return not self.stages and not self.finals
 
     def _build(self, order: Tuple[int, ...]) -> Callable:
-        stages = [self.stages[i] for i in order] + self.finals
+        ordered = [self.stages[i] for i in order]
+        names = [n for n, _ in ordered]
+        res_idx = names.index("resize") if "resize" in names else -1
+        stages = []
+        for i, (n, fn) in enumerate(ordered):
+            if isinstance(fn, dict):
+                fn = fn["att"] if (res_idx >= 0 and i > res_idx) \
+                    else fn["no"]
+            stages.append((n, fn))
+        res_f, comp_f = self._resize_finals, self._comp_finals
+
+        def seg(fns, rng, x):
+            for _, fn in fns:
+                rng, r = jax.random.split(rng)
+                x = fn(r, x)
+            return x
 
         def run(rng, x):
             x = x.astype(jnp.float32)
             for _, fn in stages:
                 rng, r = jax.random.split(rng)
                 x = fn(r, x)
+            if res_f and comp_f:
+                # per-sample coin: comp-then-resize vs resize-then-comp
+                rng, ra, rb, rc = jax.random.split(rng, 4)
+                y_a = seg(res_f, ra, seg(comp_f, rb, x))
+                y_b = seg(comp_f, rb, seg(res_f, ra, x))
+                coin = jax.random.uniform(
+                    rc, (x.shape[0], 1, 1, 1)) < 0.5
+                x = jnp.where(coin, y_a, y_b)
+            elif res_f or comp_f:
+                rng, r = jax.random.split(rng)
+                x = seg(res_f or comp_f, r, x)
             return jnp.clip(x, 0.0, 1.0)
 
         return jax.jit(run)
@@ -427,16 +665,15 @@ class BatchDegrader:
             if not hasattr(self, "_orders"):
                 import random as _pyrandom
 
+                # all stages shuffle, resize included (ref aug_pipeline
+                # random.shuffle(transform_list) — stages before the
+                # resize run at HR canvas, after it at LR canvas)
                 gen = _pyrandom.Random(0)
                 self._orders = []
                 for _ in range(8):
-                    idx = [i for i in range(n)
-                           if self.stages[i][0] != "resize"]
+                    idx = list(range(n))
                     gen.shuffle(idx)
-                    it = iter(idx)
-                    self._orders.append(tuple(
-                        i if self.stages[i][0] == "resize" else next(it)
-                        for i in range(n)))
+                    self._orders.append(tuple(idx))
                 self._order_rng = _pyrandom.Random(1)
             order = self._order_rng.choice(self._orders)
         if order not in self._jitted:

@@ -219,6 +219,11 @@ class EDVR(nn.Module):
     with_predeblur: bool = False
     with_tsa: bool = True
     upscale: int = 4
+    # 'pixelshuffle' = conv(4f) + depth_to_space (the reference's INTENT;
+    # its actual pixelshuffle path double-shuffles and crashes upstream,
+    # EDVR_arch.py:449+485). 'upconv' = nearest-up + conv, the reference
+    # mode that runs — use it for .pth output-parity.
+    upsample_mode: str = "pixelshuffle"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -278,8 +283,16 @@ class EDVR(nn.Module):
         n_up = int(math.log2(self.upscale))
         for i in range(n_up):
             f = nf if i < n_up - 1 else 64
-            out = _conv(f * 4, dtype=self.dtype, name=f"upconv{i+1}")(out)
-            out = lrelu(depth_to_space(out, 2))
+            if self.upsample_mode == "upconv":
+                from ..ops.blocks import nearest_up
+
+                out = nearest_up(out, 2)
+                out = lrelu(_conv(f, dtype=self.dtype,
+                                  name=f"upconv{i+1}")(out))
+            else:
+                out = _conv(f * 4, dtype=self.dtype,
+                            name=f"upconv{i+1}")(out)
+                out = lrelu(depth_to_space(out, 2))
         out = lrelu(_conv(64, dtype=self.dtype, name="conv_hr")(out))
         out = _conv(self.num_out_ch, dtype=self.dtype, name="conv_last")(out)
 

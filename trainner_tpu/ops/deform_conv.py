@@ -126,8 +126,11 @@ class DCNv2Pack(nn.Module):
                      dtype=self.dtype, param_dtype=jnp.float32,
                      name="conv_offset")(feat)
         o1, o2, m = jnp.split(om, 3, axis=-1)
-        # interleave (dy, dx) per (group, tap)
-        offset = jnp.stack([o1, o2], axis=-1).reshape(*o1.shape[:-1], -1)
+        # ref DCNv2Pack does offset = cat(o1, o2) and hands it straight to
+        # torchvision's op, whose channel layout is ALREADY the
+        # ((g*k*k + tap)*2 + {dy,dx}) interleaving — so the concatenation
+        # itself is the interleaved offset tensor (deformconv2d.py:140-142)
+        offset = jnp.concatenate([o1, o2], axis=-1)
         mask = nn.sigmoid(m)
         weight = self.param(
             "kernel", nn.initializers.lecun_normal(),

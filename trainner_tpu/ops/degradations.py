@@ -35,14 +35,35 @@ def _grid(k: int):
     return jnp.meshgrid(ax, ax, indexing="xy")  # (gx, gy)
 
 
+def _random_support_mask(rng: jax.Array, b: int, k: int,
+                         min_size: int) -> jnp.ndarray:
+    """Per-sample random odd kernel size in [min_size, k], realized as a
+    support mask on the fixed k x k grid (static shapes; truncation +
+    renormalization matches building the kernel at the smaller size —
+    ref RandomAnIsoBlur.get_params randomizes kernel_size per sample)."""
+    if min_size >= k:
+        return jnp.ones((b, 1, 1), jnp.float32)
+    gx, gy = _grid(k)
+    # ref: v ~ randint(min, max+1), even v promotes to v+1 — odd sizes
+    # carry double weight except the endpoints
+    v = jax.random.randint(rng, (b, 1, 1), min_size, k + 1)
+    sizes = v + (v % 2 == 0)
+    half = (sizes - 1) / 2.0
+    return ((jnp.abs(gx)[None] <= half) &
+            (jnp.abs(gy)[None] <= half)).astype(jnp.float32)
+
+
 def gaussian_kernels(rng: jax.Array, b: int, k: int = 21,
                      sigma_range: Tuple[float, float] = (0.2, 3.0),
                      iso_prob: float = 1.0,
                      sigma_y_range: Optional[Tuple[float, float]] = None,
+                     min_size: Optional[int] = None,
+                     angle_range: Optional[Tuple[float, float]] = None,
                      ) -> jnp.ndarray:
     """Iso/anisotropic rotated gaussian kernels
-    (ref augmennt RandomAnIsoBlur:2509)."""
-    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    (ref augmennt RandomAnIsoBlur:2509). Kernel size randomized per
+    sample in [min_size, k] via support masking."""
+    r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
     gx, gy = _grid(k)
     sx = jax.random.uniform(r1, (b,), minval=sigma_range[0],
                             maxval=sigma_range[1])
@@ -50,39 +71,55 @@ def gaussian_kernels(rng: jax.Array, b: int, k: int = 21,
     sy_a = jax.random.uniform(r2, (b,), minval=syr[0], maxval=syr[1])
     iso = jax.random.uniform(r3, (b,)) < iso_prob
     sy = jnp.where(iso, sx, sy_a)
+    ar = angle_range or (-math.pi, math.pi)
     theta = jnp.where(iso, 0.0,
-                      jax.random.uniform(r4, (b,), minval=-math.pi,
-                                         maxval=math.pi))
+                      jax.random.uniform(r4, (b,), minval=ar[0],
+                                         maxval=ar[1]))
     ct, st = jnp.cos(theta), jnp.sin(theta)
     # rotate coordinates per sample
     xr = ct[:, None, None] * gx + st[:, None, None] * gy
     yr = -st[:, None, None] * gx + ct[:, None, None] * gy
     kern = jnp.exp(-0.5 * ((xr / sx[:, None, None]) ** 2 +
                            (yr / sy[:, None, None]) ** 2))
+    if min_size is not None:
+        kern = kern * _random_support_mask(r5, b, k, min_size)
     return kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
 
 
 def sinc_kernels(rng: jax.Array, b: int, k: int = 21,
-                 cutoff_range: Tuple[float, float] = (math.pi / 3, math.pi)
-                 ) -> jnp.ndarray:
+                 cutoff_range: Optional[Tuple[float, float]] = None,
+                 min_size: Optional[int] = None) -> jnp.ndarray:
     """Circular lowpass (sinc) kernels — ringing/overshoot artifacts
     (ref augmennt RandomSincBlur:2593, Real-ESRGAN final blur).
 
     kernel(r) = wc * J1(wc * r) / (2*pi*r) windowed to the k x k support;
     J1 via its polynomial/asymptotic approximation (no scipy on device).
     """
+    r1, r2, r3 = jax.random.split(rng, 3)
     gx, gy = _grid(k)
     r = jnp.sqrt(gx * gx + gy * gy)
-    wc = jax.random.uniform(rng, (b, 1, 1), minval=cutoff_range[0],
-                            maxval=cutoff_range[1])
+    mask = None
+    if cutoff_range is not None:
+        wc = jax.random.uniform(r1, (b, 1, 1), minval=cutoff_range[0],
+                                maxval=cutoff_range[1])
+    else:
+        # ref RandomSincBlur.get_params: random odd size in [min,k), then
+        # min cutoff pi/3 for size < 13 else pi/5, cutoff ~ U(min, pi)
+        ms = min_size or 7
+        mask = _random_support_mask(r2, b, k, ms)
+        sizes = jnp.sum(mask[:, k // 2, :], axis=-1)  # per-sample odd size
+        min_cut = jnp.where(sizes < 13, math.pi / 3, math.pi / 5)
+        u = jax.random.uniform(r1, (b,))
+        wc = (min_cut + u * (math.pi - min_cut))[:, None, None]
 
     def _j1(x):
-        # Abramowitz-Stegun style rational approximation of BesselJ1
+        # Abramowitz-Stegun 9.4.4/9.4.6 rational approximation of BesselJ1
         small = x < 3.0
         xs = jnp.where(small, x, 3.0) / 3.0
         x2 = xs * xs
-        p_small = (0.5 - 0.56249985 * x2 / 4 + 0.21093573 * x2 ** 2 / 4
-                   - 0.03954289 * x2 ** 3 / 4) * x
+        p_small = (0.5 - 0.56249985 * x2 + 0.21093573 * x2 ** 2
+                   - 0.03954289 * x2 ** 3 + 0.00443319 * x2 ** 4
+                   - 0.00031761 * x2 ** 5 + 0.00001109 * x2 ** 6) * x
         xl = jnp.where(small, 3.0, x)
         inv = 3.0 / xl
         f1 = (0.79788456 + 0.00000156 * inv + 0.01659667 * inv ** 2
@@ -97,6 +134,8 @@ def sinc_kernels(rng: jax.Array, b: int, k: int = 21,
     x = wc * rr
     center = wc * wc / (4 * math.pi)
     kern = jnp.where(rr < 1e-6, center, wc * _j1(x) / (2 * math.pi * rr))
+    if mask is not None:
+        kern = kern * mask
     return kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
 
 
@@ -177,18 +216,37 @@ def apply_kernels(x: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
 
 def gaussian_noise(rng: jax.Array, x: jnp.ndarray,
                    sigma_range: Tuple[float, float] = (1.0, 25.0),
-                   gray_prob: float = 0.4) -> jnp.ndarray:
-    """Additive gaussian noise, sigma in 0-255 units, optionally
-    luma-only per sample (ref RandomGaussianNoise:1509)."""
-    r1, r2, r3 = jax.random.split(rng, 3)
+                   gray_prob: float = 0.4,
+                   mc_prob: float = 0.34,
+                   sigma_scale: Optional[jnp.ndarray] = None
+                   ) -> jnp.ndarray:
+    """Additive gaussian noise (ref RandomGaussianNoise:1509, default
+    sigma_calc='sig': sigma drawn DIRECTLY from sigma_range in 0-255
+    units). Per-sample: gray (luma-only) with gray_prob; among color
+    samples, MC-AWGN (independent per-channel sigma = sqrt(U(range)),
+    ref transforms.py:1578-1585) with mc_prob. sigma_scale: optional
+    (b,) per-sample multiplier (emulates the reference's noise being
+    injected at a larger intermediate size then antialias-downscaled)."""
+    r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
     b = x.shape[0]
     sigma = jax.random.uniform(r1, (b, 1, 1, 1), minval=sigma_range[0],
                                maxval=sigma_range[1]) / 255.0
+    # MC-AWGN variant: per-channel sigma = sqrt(U(range)) (the reference
+    # applies **0.5 in multi mode regardless of sigma_calc)
+    var = jax.random.uniform(r4, (b, 1, 1, 3), minval=sigma_range[0],
+                             maxval=sigma_range[1])
+    sigma_mc = jnp.sqrt(var) / 255.0
     n_rgb = jax.random.normal(r2, x.shape, x.dtype)
     n_gray = jnp.broadcast_to(n_rgb[..., :1], x.shape)
-    gray = (jax.random.uniform(r3, (b, 1, 1, 1)) < gray_prob)
+    u_gray, u_mc = jax.random.split(r3)
+    gray = (jax.random.uniform(u_gray, (b, 1, 1, 1)) < gray_prob)
+    mc = jnp.logical_and(~gray,
+                         jax.random.uniform(u_mc, (b, 1, 1, 1)) < mc_prob)
+    sig = jnp.where(mc, sigma_mc, sigma)
+    if sigma_scale is not None:
+        sig = sig * sigma_scale.reshape(b, 1, 1, 1)
     noise = jnp.where(gray, n_gray, n_rgb)
-    return x + sigma.astype(x.dtype) * noise
+    return x + sig.astype(x.dtype) * noise
 
 
 def poisson_noise(rng: jax.Array, x: jnp.ndarray,
@@ -289,12 +347,23 @@ def _quality_scale(q: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(q < 50, 5000.0 / q, 200.0 - 2.0 * q) / 100.0
 
 
+def _jpeg_channel(ch: jnp.ndarray, qtab_scaled: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """DCT -> quantize -> IDCT one (b,h,w,1) channel; qtab (b,1,1,1,8,8)."""
+    blocks = _blockify(ch)
+    coef = jnp.einsum("ij,...jk,lk->...il", _DCT8, blocks, _DCT8)
+    coef_q = jnp.round(coef / qtab_scaled) * qtab_scaled
+    rec = jnp.einsum("ji,...jk,kl->...il", _DCT8, coef_q, _DCT8)
+    return _unblockify(rec)
+
+
 def jpeg_compress(rng: jax.Array, x: jnp.ndarray,
                   quality_range: Tuple[float, float] = (30.0, 95.0),
                   quality: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """DCT-domain JPEG approximation with per-sample quality
     (ref RandomCompression:1706; cv2 bitstream round-trip stays host-side
-    for bitwise parity testing). 4:4:4, hard quantization (round).
+    for bitwise parity testing). 4:2:0 chroma subsampling like libjpeg
+    when h, w are multiples of 16 (else 4:4:4); hard quantization.
 
     Input in [0,1]; h,w must be multiples of 8 (pad upstream).
     """
@@ -306,16 +375,27 @@ def jpeg_compress(rng: jax.Array, x: jnp.ndarray,
 
     ycc = (x * 255.0) @ _RGB2YCC  # (b,h,w,3), Y in [0,255], Cb/Cr centered 0
     ycc = ycc - jnp.asarray([128.0, 0.0, 0.0])
-    blocks = _blockify(ycc)  # (b,hb,wb,3,8,8)
-    coef = jnp.einsum("ij,...jk,lk->...il", _DCT8, blocks, _DCT8)
-
-    qtab = jnp.stack([_Q_LUMA, _Q_CHROMA, _Q_CHROMA])  # (3,8,8)
-    qtab = jnp.clip(qtab[None] * scale[:, None], 1.0, 255.0)
-    qtab = qtab[:, None, None]  # (b,1,1,3,8,8)
-    coef_q = jnp.round(coef / qtab) * qtab
-
-    rec = jnp.einsum("ji,...jk,kl->...il", _DCT8, coef_q, _DCT8)
-    ycc_rec = _unblockify(rec) + jnp.asarray([128.0, 0.0, 0.0])
+    q_luma = jnp.clip(_Q_LUMA[None] * scale, 1.0, 255.0)[
+        :, None, None, None]
+    q_chroma = jnp.clip(_Q_CHROMA[None] * scale, 1.0, 255.0)[
+        :, None, None, None]
+    y_rec = _jpeg_channel(ycc[..., :1], q_luma)
+    cc = ycc[..., 1:]
+    if h % 16 == 0 and w % 16 == 0:
+        # 4:2:0: box-subsample chroma, quantize at half res, upsample back
+        cc_sub = 0.25 * (cc[:, ::2, ::2] + cc[:, 1::2, ::2]
+                         + cc[:, ::2, 1::2] + cc[:, 1::2, 1::2])
+        cb = _jpeg_channel(cc_sub[..., :1], q_chroma)
+        cr = _jpeg_channel(cc_sub[..., 1:], q_chroma)
+        cc_rec = jax.image.resize(
+            jnp.concatenate([cb, cr], axis=-1), (b, h, w, 2),
+            method="linear")
+    else:
+        cb = _jpeg_channel(cc[..., :1], q_chroma)
+        cr = _jpeg_channel(cc[..., 1:], q_chroma)
+        cc_rec = jnp.concatenate([cb, cr], axis=-1)
+    ycc_rec = jnp.concatenate([y_rec, cc_rec], axis=-1) + \
+        jnp.asarray([128.0, 0.0, 0.0])
     rgb = (ycc_rec @ _YCC2RGB) / 255.0
     return jnp.clip(rgb, 0.0, 1.0).astype(x.dtype)
 
@@ -487,19 +567,31 @@ def kmeans_quantize(rng: jax.Array, x: jnp.ndarray, n_colors: int = 32,
 _JAX_METHODS = {0: "nearest", 1: "linear", 2: "cubic", 3: "linear",
                 4: "lanczos3", 5: "linear", 6: "nearest"}
 
+# reference 77x codes (ref options/options.py:17-36) -> our MATLAB-parity
+# imresize kernel names (ops/imresize._KERNELS)
+_MATLAB_CODES = {
+    773: "linear", 774: "box", 775: "lanczos2", 776: "lanczos3",
+    777: "cubic", 778: "mitchell", 779: "hermite", 780: "lanczos4",
+    781: "lanczos5", 782: "bell", 783: "catrom", 784: "hanning",
+    785: "hamming", 786: "gaussian", 787: "sinc2", 788: "sinc3",
+    789: "sinc4", 790: "sinc5", 791: "blackman2", 792: "blackman3",
+    793: "blackman4", 794: "blackman5",
+    # legacy round-1 codes
+    100: "box", 101: "box", 102: "linear", 103: "lanczos2",
+    104: "lanczos3",
+}
+
 
 def resize_batch(x: jnp.ndarray, out_hw: Tuple[int, int],
-                 algo: int = 2) -> jnp.ndarray:
+                 algo: int = 777) -> jnp.ndarray:
     """Resize the whole batch with one algorithm code
-    (codes: options/config.py INTERP_CODES)."""
+    (codes: options/config.py INTERP_CODES, same ints as the reference)."""
     b, h, w, c = x.shape
     oh, ow = out_hw
-    if algo in (100, 101, 102, 103, 104, 998):
+    if algo in _MATLAB_CODES:
         from .imresize import imresize
 
-        kern = {100: "box", 101: "box", 102: "linear", 103: "lanczos2",
-                104: "lanczos3", 998: "cubic"}[algo]
-        return imresize(x, out_shape=(oh, ow), kernel=kern)
+        return imresize(x, out_shape=(oh, ow), kernel=_MATLAB_CODES[algo])
     if algo == 3 and oh <= h:  # area downscale == antialiased linear
         return jax.image.resize(x, (b, oh, ow, c), method="linear",
                                 antialias=True)
@@ -563,59 +655,132 @@ def _mosaic_masks(h: int, w: int):
     return r, g, b
 
 
-def camera_noise(rng: jax.Array, x: jnp.ndarray,
-                 shot_range: Tuple[float, float] = (1e-4, 1e-2),
-                 read_range: Tuple[float, float] = (1e-4, 1e-2),
-                 gain_range: Tuple[float, float] = (1.2, 2.4)
-                 ) -> jnp.ndarray:
-    """Simplified differentiable camera-ISP noise: inverse gamma ->
-    inverse white balance -> bayer mosaic -> shot+read noise ->
-    bilinear demosaic -> white balance -> gamma. The reference runs the
-    full unprocess/process model with malvar demosaicing on the host
-    (camera.py:865-954); this is the batched on-device counterpart.
-    """
-    b, h, w, c = x.shape
-    r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
-    # unprocess: sRGB -> linear, inverse gains
-    lin = jnp.power(jnp.clip(x, 1e-6, 1.0), 2.2)
-    rg = jax.random.uniform(r1, (b, 1, 1), minval=gain_range[0],
-                            maxval=gain_range[1])
-    bg = jax.random.uniform(r2, (b, 1, 1), minval=gain_range[0],
-                            maxval=gain_range[1])
-    lin = jnp.stack([lin[..., 0] / rg, lin[..., 1],
-                     lin[..., 2] / bg], axis=-1)
+_MALVAR_G_AT_RB = np.array([
+    [0, 0, -1, 0, 0], [0, 0, 2, 0, 0], [-1, 2, 4, 2, -1],
+    [0, 0, 2, 0, 0], [0, 0, -1, 0, 0]], np.float32) / 8.0
+_MALVAR_CROSS_H = np.array([  # R/B at G, same-color neighbors horizontal
+    [0, 0, 0.5, 0, 0], [0, -1, 0, -1, 0], [-1, 4, 5, 4, -1],
+    [0, -1, 0, -1, 0], [0, 0, 0.5, 0, 0]], np.float32) / 8.0
+_MALVAR_CHECKER = np.array([  # R at B / B at R
+    [0, 0, -1.5, 0, 0], [0, 2, 0, 2, 0], [-1.5, 0, 6, 0, -1.5],
+    [0, 2, 0, 2, 0], [0, 0, -1.5, 0, 0]], np.float32) / 8.0
 
-    # mosaic to a single bayer plane
+
+def _malvar_demosaic(bayer: jnp.ndarray):
+    """Malvar-He-Cutler 2004 demosaic of an RGGB bayer plane (b, h, w)
+    -> (r, g, b) full-res channels. Matches ref camera.py 'malvar'."""
+    b, h, w = bayer.shape
+
+    def conv5(v, kern):
+        vp = jnp.pad(v, [(0, 0), (2, 2), (2, 2)], mode="reflect")
+        k = jnp.asarray(kern)[:, :, None, None]  # HWIO
+        y = jax.lax.conv_general_dilated(
+            vp[..., None], k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y[..., 0]
+
+    mr, mg, mb = _mosaic_masks(h, w)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    g_row_r = ((yy % 2 == 0) & (xx % 2 == 1)).astype(jnp.float32)  # G, R-row
+    g_row_b = ((yy % 2 == 1) & (xx % 2 == 0)).astype(jnp.float32)  # G, B-row
+
+    g_hat = conv5(bayer, _MALVAR_G_AT_RB)
+    cross_h = conv5(bayer, _MALVAR_CROSS_H)
+    cross_v = conv5(bayer, _MALVAR_CROSS_H.T)
+    checker = conv5(bayer, _MALVAR_CHECKER)
+
+    green = bayer * mg + g_hat * (mr + mb)
+    red = bayer * mr + cross_h * g_row_r + cross_v * g_row_b + checker * mb
+    blue = bayer * mb + cross_h * g_row_b + cross_v * g_row_r + checker * mr
+    return red, green, blue
+
+
+# the four XYZ -> camera CCM candidates + D50/D65 RGB -> XYZ matrices
+# (ref camera.py:747-816 get_rgb2xyz_array / random_ccm)
+_XYZ2CAMS = np.array([
+    [[1.0234, -0.2969, -0.2266], [-0.5625, 1.6328, -0.0469],
+     [-0.0703, 0.2188, 0.6406]],
+    [[0.4913, -0.0541, -0.0202], [-0.613, 1.3513, 0.2906],
+     [-0.1564, 0.2151, 0.7183]],
+    [[0.838, -0.263, -0.0639], [-0.2887, 1.0725, 0.2496],
+     [-0.0627, 0.1427, 0.5438]],
+    [[0.6596, -0.2079, -0.0562], [-0.4782, 1.3016, 0.1933],
+     [-0.097, 0.1581, 0.5181]]], np.float32)
+_RGB2XYZ = {
+    "D50": np.array([[0.4360747, 0.3850649, 0.1430804],
+                     [0.2225045, 0.7168786, 0.0606169],
+                     [0.0139322, 0.0971045, 0.7141733]], np.float32),
+    "D65": np.array([[0.4124564, 0.3575761, 0.1804375],
+                     [0.2126729, 0.7151522, 0.0721750],
+                     [0.0193339, 0.1191920, 0.9503041]], np.float32),
+}
+
+
+def camera_noise(rng: jax.Array, x: jnp.ndarray,
+                 shot_range: Tuple[float, float] = (1e-4, 0.012),
+                 gain_range: Tuple[float, float] = (1.2, 2.4),
+                 bg_range: Optional[Tuple[float, float]] = None,
+                 xyz_arr: str = "D50") -> jnp.ndarray:
+    """Full camera-ISP noise model, batched on device (ref camera.py
+    unprocess:865/process:954, RandomCameraNoise): inverse smoothstep
+    tonemap -> gamma expansion -> random camera CCM (convex mix of 4) ->
+    safe inverse gains (incl. a PERSISTENT brightness rgb_gain=1/N(0.8,
+    0.1) that process does not undo) -> RGGB mosaic -> log-uniform shot
+    + correlated read noise -> white balance -> malvar demosaic ->
+    cam2rgb CCM -> gamma compression -> smoothstep."""
+    b, h, w, c = x.shape
+    rs = jax.random.split(rng, 8)
+    bgr = bg_range or gain_range
+
+    # --- unprocess
+    img = jnp.clip(x, 0.0, 1.0)
+    img = 0.5 - jnp.sin(jnp.arcsin(1.0 - 2.0 * img) / 3.0)  # inv smoothstep
+    lin = jnp.power(jnp.maximum(img, 1e-8), 2.2)
+    # random CCM: convex combination weighted by U(1e-8, 1e8)
+    wts = jax.random.uniform(rs[0], (b, 4, 1, 1), minval=1e-8, maxval=1e8)
+    xyz2cam = jnp.sum(jnp.asarray(_XYZ2CAMS)[None] * wts, axis=1) / \
+        jnp.sum(wts, axis=1)
+    rgb2cam = xyz2cam @ jnp.asarray(_RGB2XYZ.get(xyz_arr, _RGB2XYZ["D65"]))
+    rgb2cam = rgb2cam / jnp.sum(rgb2cam, axis=-1, keepdims=True)
+    cam2rgb = jnp.linalg.inv(rgb2cam)
+    lin = jnp.einsum("bhwc,bdc->bhwd", lin, rgb2cam)
+    # safe inverse gains: brightness rgb_gain is never re-applied
+    rgb_gain = 1.0 / (0.8 + 0.1 * jax.random.normal(rs[1], (b, 1, 1)))
+    rg = jax.random.uniform(rs[2], (b, 1, 1), minval=gain_range[0],
+                            maxval=gain_range[1])
+    bg = jax.random.uniform(rs[3], (b, 1, 1), minval=bgr[0], maxval=bgr[1])
+    inv_gains = jnp.stack([1.0 / rg, jnp.ones_like(rg), 1.0 / bg],
+                          axis=-1) / rgb_gain[..., None]  # (b,1,1,3)
+    gray = jnp.mean(lin, axis=-1, keepdims=True)
+    inflection = 0.9
+    msk = (jnp.maximum(gray - inflection, 0.0) / (1.0 - inflection)) ** 2
+    safe_gains = jnp.maximum(msk + (1.0 - msk) * inv_gains, inv_gains)
+    lin = jnp.clip(lin * safe_gains, 0.0, 1.0)
+
+    # --- mosaic to a single RGGB bayer plane
     mr, mg, mb = _mosaic_masks(h, w)
     bayer = lin[..., 0] * mr + lin[..., 1] * mg + lin[..., 2] * mb
 
-    # shot (signal-dependent) + read noise (ref camera.py:911)
-    shot = jax.random.uniform(r3, (b, 1, 1), minval=shot_range[0],
-                              maxval=shot_range[1])
-    read = jax.random.uniform(r4, (b, 1, 1), minval=read_range[0],
-                              maxval=read_range[1])
+    # shot/read noise: shot LOG-uniform, read on the correlated line
+    # log_read = 2.18*log_shot + 1.20 + N(0, 0.26) (ref camera.py:896-908)
+    log_shot = jax.random.uniform(rs[4], (b, 1, 1),
+                                  minval=math.log(shot_range[0]),
+                                  maxval=math.log(shot_range[1]))
+    shot = jnp.exp(log_shot)
+    read = jnp.exp(2.18 * log_shot + 1.20
+                   + 0.26 * jax.random.normal(rs[5], (b, 1, 1)))
     var = jnp.clip(bayer, 0.0, 1.0) * shot + read
-    bayer = bayer + jnp.sqrt(var) * jax.random.normal(r5, bayer.shape)
+    bayer = bayer + jnp.sqrt(var) * jax.random.normal(rs[6], bayer.shape)
 
-    # bilinear demosaic: normalized blur of masked channels
-    def demosaic(chan_masked, mask):
-        kern = jnp.asarray([[0.25, 0.5, 0.25], [0.5, 1.0, 0.5],
-                            [0.25, 0.5, 0.25]], jnp.float32)
-        def blur(v):
-            vp = jnp.pad(v, [(0, 0), (1, 1), (1, 1)], mode="reflect")
-            out = jnp.zeros_like(v)
-            for dy in range(3):
-                for dx in range(3):
-                    out = out + kern[dy, dx] * vp[:, dy:dy + v.shape[1],
-                                                  dx:dx + v.shape[2]]
-            return out
-        num = blur(chan_masked)
-        den = blur(jnp.broadcast_to(mask[None], chan_masked.shape))
-        return num / jnp.maximum(den, 1e-6)
-
-    red = demosaic(bayer * mr, mr)
-    green = demosaic(bayer * mg, mg)
-    blue = demosaic(bayer * mb, mb)
-    lin_out = jnp.stack([red * rg, green, blue * bg], axis=-1)
-    return jnp.clip(jnp.power(jnp.clip(lin_out, 1e-6, 1.0), 1 / 2.2),
-                    0.0, 1.0).astype(x.dtype)
+    # --- process: WB gains -> malvar demosaic -> cam2rgb -> gamma+tonemap
+    gains_plane = rg * mr[None] + jnp.ones_like(rg) * mg[None] + \
+        bg * mb[None]
+    bayer = jnp.clip(bayer * gains_plane, 0.0, 1.0)
+    red, green, blue = _malvar_demosaic(bayer)
+    rgb = jnp.stack([red, green, blue], axis=-1)
+    rgb = jnp.einsum("bhwc,bdc->bhwd", rgb, cam2rgb)
+    rgb = jnp.power(jnp.maximum(jnp.clip(rgb, 0.0, 1.0), 1e-8), 1 / 2.2)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb = 3.0 * rgb ** 2 - 2.0 * rgb ** 3  # smoothstep
+    return rgb.astype(x.dtype)

@@ -110,27 +110,55 @@ def load_file(path: str) -> dict:
 #   997 = realistic kernel pool (KernelGAN kernels), 998 = matlab bicubic,
 #   999 = random/realistic per-sample choice
 # ---------------------------------------------------------------------------
+# Same integer codes as the reference (ref options/options.py:17-36
+# _cv2_str2interpolation): 0-6 = cv2 methods, 77x = MATLAB-style
+# antialiased kernels (our ops/imresize), 997/998/999 = special dispatch.
+# Note 'linear'/'cubic' map to the ANTIALIASED MATLAB kernels (773/777),
+# not raw cv2 — matching the reference's preset semantics.
 INTERP_CODES = {
+    "cv2_nearest": 0,
     "nearest": 0,
-    "linear": 1,
-    "bilinear": 1,
-    "cubic": 2,
-    "bicubic": 2,
+    "cv2_linear": 1,
+    "cv2_cubic": 2,
+    "cv2_area": 3,
     "area": 3,
-    "lanczos": 4,
-    "lanczos4": 4,
-    "linear_exact": 5,
-    "nearest_exact": 6,
-    "matlab_nearest": 100,
-    "matlab_box": 101,
-    "matlab_linear": 102,
-    "matlab_bilinear": 102,
-    "matlab_lanczos2": 103,
-    "matlab_lanczos3": 104,
-    "matlab_bicubic": 998,
+    "cv2_lanczos4": 4,
+    "cv2_linear_exact": 5,
+    "linear": 773,
+    "bilinear": 773,
+    "box": 774,
+    "lanczos2": 775,
+    "lanczos3": 776,
+    "cubic": 777,
+    "bicubic": 777,
+    "matlab_bicubic": 777,
+    "mitchell": 778,
+    "hermite": 779,
+    "lanczos4": 780,
+    "lanczos5": 781,
+    "bell": 782,
+    "catrom": 783,
+    "hanning": 784,
+    "hamming": 785,
+    "gaussian": 786,
+    "sinc2": 787,
+    "sinc3": 788,
+    "sinc4": 789,
+    "sinc5": 790,
+    "blackman2": 791,
+    "blackman3": 792,
+    "blackman4": 793,
+    "blackman5": 794,
+    "nearest_aligned": 997,
+    "down_up": 998,
     "realistic": 999,
-    "down_up": 996,
-    "nearest_aligned": 995,
+    # legacy aliases from round 1 option files
+    "matlab_nearest": 774,
+    "matlab_box": 774,
+    "matlab_linear": 773,
+    "matlab_bilinear": 773,
+    "matlab_lanczos2": 775,
+    "matlab_lanczos3": 776,
 }
 
 

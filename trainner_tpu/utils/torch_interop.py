@@ -833,3 +833,85 @@ def asrresnet_to_params(sd: Dict[str, np.ndarray]) -> Dict:
         nn_["kernel"] = conv_to_hwio(sd[f"{pre}.weight"])
         nn_["bias"] = sd[f"{pre}.bias"]
     return {"params": params, "batch_stats": stats}
+
+
+def edvr_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a reference EDVR .pth (ref EDVR_arch.py:340 EDVR, PCDAlignment
+    :77, TSAFusion:188, DCNv2Pack deformconv2d.py:127) onto the flax EDVR
+    variables. Offsets keep the reference's cat(o1, o2) channel layout,
+    which IS torchvision's ((g*k*k+tap)*2 + {dy,dx}) interleaving — see
+    ops/deform_conv.py DCNv2Pack."""
+    params: Dict[str, Any] = {}
+
+    def node(path):
+        n = params
+        for q in path:
+            n = n.setdefault(q, {})
+        return n
+
+    def put_conv(path, prefix, leaf_kernel="kernel"):
+        n = node(path)
+        n[leaf_kernel] = conv_to_hwio(sd[f"{prefix}.weight"])
+        if f"{prefix}.bias" in sd:
+            n["bias"] = sd[f"{prefix}.bias"]
+
+    def put_dcn(path, prefix):
+        put_conv(path + ("conv_offset",), f"{prefix}.conv_offset")
+        n = node(path)
+        n["kernel"] = conv_to_hwio(sd[f"{prefix}.weight"])
+        n["bias"] = sd[f"{prefix}.bias"]
+
+    if "conv_first.weight" in sd:
+        put_conv(("conv_first",), "conv_first")
+    n_extract = len({k.split(".")[1] for k in sd
+                     if k.startswith("feature_extraction.")})
+    for i in range(n_extract):
+        put_conv((f"extract{i}", "conv1"), f"feature_extraction.{i}.conv1")
+        put_conv((f"extract{i}", "conv2"), f"feature_extraction.{i}.conv2")
+    for name in ("conv_l2_1", "conv_l2_2", "conv_l3_1", "conv_l3_2"):
+        put_conv((name,), name)
+
+    for lv in (1, 2, 3):
+        put_conv(("pcd_align", f"offset_conv1_l{lv}"),
+                 f"pcd_align.offset_conv1.l{lv}")
+        put_conv(("pcd_align", f"offset_conv2_l{lv}"),
+                 f"pcd_align.offset_conv2.l{lv}")
+        if f"pcd_align.offset_conv3.l{lv}.weight" in sd:
+            put_conv(("pcd_align", f"offset_conv3_l{lv}"),
+                     f"pcd_align.offset_conv3.l{lv}")
+        put_dcn(("pcd_align", f"dcn_l{lv}"), f"pcd_align.dcn_pack.l{lv}")
+        if f"pcd_align.feat_conv.l{lv}.weight" in sd:
+            put_conv(("pcd_align", f"feat_conv_l{lv}"),
+                     f"pcd_align.feat_conv.l{lv}")
+    put_conv(("pcd_align", "cas_offset_conv1"), "pcd_align.cas_offset_conv1")
+    put_conv(("pcd_align", "cas_offset_conv2"), "pcd_align.cas_offset_conv2")
+    put_dcn(("pcd_align", "cas_dcn"), "pcd_align.cas_dcnpack")
+
+    if "fusion.weight" in sd:  # with_tsa=False: plain 1x1 fusion conv
+        put_conv(("fusion",), "fusion")
+    else:
+        for name in ("temporal_attn1", "temporal_attn2", "feat_fusion",
+                     "spatial_attn1", "spatial_attn2", "spatial_attn3",
+                     "spatial_attn4", "spatial_attn5", "spatial_attn_l1",
+                     "spatial_attn_l2", "spatial_attn_l3",
+                     "spatial_attn_add1", "spatial_attn_add2"):
+            put_conv(("fusion", name), f"fusion.{name}")
+
+    n_recon = len({k.split(".")[1] for k in sd
+                   if k.startswith("reconstruction.")})
+    for i in range(n_recon):
+        put_conv((f"recon{i}", "conv1"), f"reconstruction.{i}.conv1")
+        put_conv((f"recon{i}", "conv2"), f"reconstruction.{i}.conv2")
+
+    # upconv blocks: find the single 4-dim conv weight under upconv{k}.*
+    for k in (1, 2, 3):
+        cand = sorted(kk for kk in sd if kk.startswith(f"upconv{k}.")
+                      and kk.endswith("weight")
+                      and getattr(sd[kk], "ndim", 0) == 4)
+        if not cand:
+            continue
+        prefix = cand[0][: -len(".weight")]
+        put_conv((f"upconv{k}",), prefix)
+    put_conv(("conv_hr",), "conv_hr")
+    put_conv(("conv_last",), "conv_last")
+    return {"params": params}
