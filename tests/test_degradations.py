@@ -338,3 +338,52 @@ def test_noise_stage_dispatch_new_types():
         y = jax.jit(fn)(rng, x)
         assert y.shape == x.shape
         assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_median_blur_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    img = rng.random((40, 48, 3)).astype(np.float32)
+    for k in (3, 5):
+        ours = np.asarray(D.median_blur(jnp.asarray(img[None]), k))[0]
+        ref = cv2.medianBlur((img * 255).astype(np.uint8),
+                             k).astype(np.float32) / 255.0
+        # cv2 works on uint8 -> quantization bound 1/255
+        err = np.abs(ours[2:-2, 2:-2] - ref[2:-2, 2:-2]).max()
+        assert err <= 1.0 / 255.0 + 1e-6, (k, err)
+
+
+def test_bilateral_blur_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    img = rng.random((40, 48, 3)).astype(np.float32)
+    ours = np.asarray(D.bilateral_blur(jnp.asarray(img[None]),
+                                       9, 75, 75))[0]
+    ref = cv2.bilateralFilter(img, 9, 75 / 255.0, 75)
+    err = np.abs(ours[5:-5, 5:-5] - ref[5:-5, 5:-5]).max()
+    assert err < 1e-5, err
+
+
+def test_clahe_increases_local_contrast():
+    rng = np.random.default_rng(1)
+    # low-contrast image: values compressed in [0.4, 0.6]
+    # 128px / 8x8 grid -> 16px tiles (256 px each) so the clip limit
+    # quantization (cv2: clip*area/bins) actually distinguishes levels
+    img = (0.4 + 0.2 * rng.random((2, 128, 128, 3))).astype(np.float32)
+    out = np.asarray(D.clahe_batch(jnp.asarray(img), clip_limit=4.0))
+    assert out.shape == img.shape
+    assert out.std() > img.std() * 1.5  # equalization spreads values
+    # near-identity when clip_limit ~ 1 (no equalization allowed)
+    out1 = np.asarray(D.clahe_batch(jnp.asarray(img), clip_limit=1.0))
+    assert np.abs(out1 - img).mean() < np.abs(out - img).mean()
+
+
+def test_som_quantize_reduces_palette():
+    rng = np.random.default_rng(2)
+    img = rng.random((1, 32, 32, 3)).astype(np.float32)
+    q = np.asarray(D.som_quantize(jax.random.PRNGKey(0),
+                                  jnp.asarray(img), n_colors=8))
+    colors = np.unique(q.reshape(-1, 3), axis=0)
+    assert len(colors) <= 8
+    # quantization error bounded (nodes trained on the image itself)
+    assert np.abs(q - img).mean() < 0.15

@@ -163,3 +163,112 @@ def test_grad_clip_step():
     state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
     state, logs = tr.train_step(state, _batch())
     assert np.isfinite(float(logs["l_g_total"]))
+
+
+def test_swa_bn_refresh_recomputes_stats():
+    """refresh_bn_stats reproduces torch update_bn semantics: stats equal
+    the cumulative average of per-batch statistics under the averaged
+    params (VERDICT r1 missing #5; ref base_model.py:180)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from trainner_tpu.train.state import refresh_bn_stats
+
+    class BNNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            x = nn.Conv(8, (3, 3), padding=1)(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            return nn.relu(x)
+
+    net = BNNet()
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (4, 8, 8, 3))
+    variables = net.init(jax.random.PRNGKey(1), x0)
+    params = variables["params"]
+    extra = {"batch_stats": variables["batch_stats"]}
+
+    batches = [jax.random.uniform(jax.random.PRNGKey(i), (4, 8, 8, 3))
+               + 0.1 * i for i in range(3)]
+
+    def apply_fn(vs, x, train, mutable):
+        return net.apply(vs, x, train=train, mutable=mutable)
+
+    new_extra = refresh_bn_stats(apply_fn, params, extra, batches)
+
+    # expected: average of raw batch means/vars of the conv output
+    kernel = params["Conv_0"]["kernel"]
+    bias = params["Conv_0"]["bias"]
+    means, variances = [], []
+    for b in batches:
+        y = jax.lax.conv_general_dilated(
+            jnp.pad(b, [(0, 0), (1, 1), (1, 1), (0, 0)]), kernel,
+            (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        means.append(jnp.mean(y, axis=(0, 1, 2)))
+        variances.append(jnp.var(y, axis=(0, 1, 2)))
+    exp_mean = np.mean(np.stack(means), axis=0)
+    exp_var = np.mean(np.stack(variances), axis=0)
+    got_mean = np.asarray(new_extra["batch_stats"]["BatchNorm_0"]["mean"])
+    got_var = np.asarray(new_extra["batch_stats"]["BatchNorm_0"]["var"])
+    assert np.allclose(got_mean, exp_mean, atol=1e-4)
+    assert np.allclose(got_var, exp_var, atol=1e-4)
+
+
+def test_auto_grad_clip_percentile_history():
+    """'auto' grad clip = percentile of the grad-norm history ring buffer
+    (VERDICT r1 weak #7; ref base_model.py:896-922 get_auto_norm)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trainner_tpu.train.sr_trainer import (agc_hist_percentile,
+                                               agc_percentile_clip,
+                                               init_grad_hist)
+
+    hist = init_grad_hist()
+    # no history yet -> first call records the norm and clips against the
+    # percentile of {itself} = itself -> scale 1 (no clipping)
+    g = {"w": jnp.full((4,), 3.0)}  # global norm 6
+    g1, hist = agc_percentile_clip(g, hist)
+    assert np.allclose(np.asarray(g1["w"]), 3.0, atol=1e-4)
+    assert int(hist["n"]) == 1
+    assert float(hist["vals"][0]) == 6.0
+
+    # record a history of small norms, then a spike: the spike must be
+    # clipped down to the 10th percentile of the history
+    for i in range(20):
+        small = {"w": jnp.full((4,), 0.5)}  # norm 1.0
+        _, hist = agc_percentile_clip(small, hist)
+    spike = {"w": jnp.full((4,), 50.0)}  # norm 100
+    clipped, hist = agc_percentile_clip(spike, hist)
+    clip_val = float(agc_hist_percentile(hist))
+    got_norm = float(jnp.linalg.norm(clipped["w"]))
+    assert got_norm <= clip_val * 1.01
+    assert got_norm < 5.0  # way below the raw spike norm
+
+
+def test_auto_grad_clip_trains():
+    """A trainer configured with grad_clip: auto steps without error and
+    carries the history in state."""
+    import jax
+    import jax.numpy as jnp
+
+    from trainner_tpu.train.sr_trainer import SRTrainer
+
+    opt = {"is_train": True, "scale": 2,
+           "network_G": {"type": "sr_resnet", "nf": 8, "nb": 1,
+                         "upscale": 2},
+           "train": {"lr_G": 1e-4, "pixel_criterion": "l1",
+                     "pixel_weight": 1.0, "lr_scheme": "MultiStepLR",
+                     "lr_steps": [100], "grad_clip": "auto"}}
+    tr = SRTrainer(opt, dtype=jnp.float32)
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    assert state.grad_hist is not None
+    batch = {"LR": jnp.ones((2, 8, 8, 3)) * 0.5,
+             "HR": jnp.ones((2, 16, 16, 3)) * 0.5}
+    state, logs = tr.train_step(state, batch)
+    assert int(state.grad_hist["n"]) == 1
+    state, logs = tr.train_step(state, batch)
+    assert int(state.grad_hist["n"]) == 2

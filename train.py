@@ -298,6 +298,23 @@ def fit(trainer, opt, loaders, state, start_epoch, current_step, logger,
         f"Start training from epoch {start_epoch}, iter {current_step}; "
         f"total epochs {total_epochs}, iters {niter}")
 
+    # rolling LR batches for the SWA BatchNorm-statistics refresh on save
+    # (ref base_model.py:180 update_bn over the loader; we keep the most
+    # recent batches instead of a full extra epoch)
+    import collections as _collections
+
+    bn_refresh_batches = _collections.deque(
+        maxlen=int(train_opt.get("swa_update_bn_batches", 4) or 4))
+
+    def _swa_extra():
+        if not (getattr(state, "swa_params", None) is not None
+                and hasattr(trainer, "refresh_swa_bn")
+                and getattr(state.g, "extra", None)
+                and "batch_stats" in state.g.extra
+                and bn_refresh_batches):
+            return None
+        return trainer.refresh_swa_bn(state, list(bn_refresh_batches))
+
     epoch = start_epoch
     try:
         while current_step < niter:
@@ -309,6 +326,8 @@ def fit(trainer, opt, loaders, state, start_epoch, current_step, logger,
                 if degrade is not None:
                     deg_rng, r = jax.random.split(deg_rng)
                     arrays = degrade(r, arrays)
+                if "LR" in arrays:
+                    bn_refresh_batches.append(arrays["LR"])
                 state, logs = trainer.train_step(state, arrays)
                 t_iter = timer.toc()
 
@@ -351,7 +370,8 @@ def fit(trainer, opt, loaders, state, start_epoch, current_step, logger,
 
                 if current_step % save_freq == 0:
                     save_checkpoint(state, opt, epoch, current_step,
-                                    latest_only=overwrite_chkp)
+                                    latest_only=overwrite_chkp,
+                                    swa_extra=_swa_extra())
                     logger.info(f"Models and training state saved at iter "
                                 f"{current_step}.")
 
@@ -362,10 +382,12 @@ def fit(trainer, opt, loaders, state, start_epoch, current_step, logger,
     except KeyboardInterrupt:
         # graceful interrupt: save latest and exit (ref train.py:453-461)
         logger.info("Training interrupted. Saving latest models and state.")
-        save_checkpoint(state, opt, epoch, current_step, latest_only=True)
+        save_checkpoint(state, opt, epoch, current_step, latest_only=True,
+                        swa_extra=_swa_extra())
         raise SystemExit(0)
 
-    save_checkpoint(state, opt, epoch, current_step)
+    save_checkpoint(state, opt, epoch, current_step,
+                    swa_extra=_swa_extra())
     logger.info("Training finished. Saved final models and state.")
     return state
 

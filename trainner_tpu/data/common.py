@@ -30,8 +30,25 @@ def is_image_file(path: str) -> bool:
     return path.lower().endswith(tuple(e.lower() for e in IMG_EXTENSIONS))
 
 
+_LMDB_READERS: dict = {}
+
+
+def _lmdb_reader(root: str):
+    if root not in _LMDB_READERS:
+        from .lmdb_io import LmdbReader
+
+        _LMDB_READERS[root] = LmdbReader(root)
+    return _LMDB_READERS[root]
+
+
 def scan_images(root: str) -> List[str]:
-    """Sorted recursive image listing (ref utils/util.py scandir:75)."""
+    """Sorted recursive image listing (ref utils/util.py scandir:75).
+    A *.lmdb dataroot (ref dataops/common.py:47) yields virtual paths
+    '<root>::<key>' readable by read_img."""
+    if str(root).endswith(".lmdb"):
+        from .lmdb_io import lmdb_paths
+
+        return [f"{root}::{k}" for k in lmdb_paths(root)]
     out = []
     for dirpath, _, files in os.walk(root):
         for f in files:
@@ -42,7 +59,24 @@ def scan_images(root: str) -> List[str]:
 
 def read_img(path: str, out_nc: int = 3) -> np.ndarray:
     """Read an image file -> float32 RGB HWC in [0,1] (ref read_img:130,
-    which returns BGR; we standardize on RGB and convert at IO time)."""
+    which returns BGR; we standardize on RGB and convert at IO time).
+    '<root>.lmdb::<key>' virtual paths read from LMDB (ref
+    _read_lmdb_img:90)."""
+    if "::" in path and ".lmdb" in path:
+        root, key = path.split("::", 1)
+        buf = _lmdb_reader(root).get(key.encode("ascii"))
+        if buf is None:
+            raise IOError(f"lmdb key not found [{path}]")
+        img = cv2.imdecode(np.frombuffer(buf, np.uint8),
+                           cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise IOError(f"cannot decode lmdb image [{path}]")
+        img = (img / 255.0).astype(np.float32)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[2] == 3:
+            img = img[:, :, ::-1]  # BGR -> RGB
+        return fix_img_channels(np.ascontiguousarray(img), out_nc)
     if cv2 is not None:
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         if img is None:

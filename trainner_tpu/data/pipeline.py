@@ -27,11 +27,10 @@ and branch-free (both orders computed, one-hot mixed). Gated
 statistically against the reference per preset in
 tests/test_degradation_stat_parity.py.
 
-Camera-ISP noise and SLIC superpixels run ON DEVICE too
-(ops/degradations.camera_noise, ops/superpixel). Ops with no efficient
-device form (CLAHE, real noise patches, SOM quantization) substitute
-gaussian noise in the device mixture; exact variants can run in the host
-dataset path.
+Camera-ISP noise, SLIC superpixels, CLAHE, SOM quantization and the
+median/bilateral filters all run ON DEVICE with exact cv2-matched
+semantics (ops/degradations, ops/superpixel). Real noise patches load
+into a device-resident bank (data/kernels.py).
 """
 
 from __future__ import annotations
@@ -126,7 +125,7 @@ def get_unpaired_params(opt: dict) -> Tuple[dict, dict]:
 
 _DEVICE_NOISE = ("gaussian", "jpeg", "webp", "poisson", "speckle", "s&p",
                  "sp", "quantize", "dither", "maxrgb", "camera",
-                 "superpixels")
+                 "superpixels", "clahe")
 
 
 def _with_prob(fn: Callable, prob: float) -> Callable:
@@ -173,7 +172,7 @@ def _blur_stage(types: Sequence[str], cfgs: Dict[str, dict],
                 banks.append(D.gaussian_kernels(
                     r, b, k, tuple(map(float, sx)), iso_prob=1.0,
                     min_size=mk))
-            elif t in ("aniso", "bilateral"):
+            elif t in ("aniso",):
                 sx = cfg.get("sigmaX") or [0.5, 8.0]
                 sy = cfg.get("sigmaY") or sx
                 ang = cfg.get("angle")
@@ -193,27 +192,65 @@ def _blur_stage(types: Sequence[str], cfgs: Dict[str, dict],
                     min_size=max(mk, 7)))
             elif t in ("motion", "complexmotion", "complex_motion"):
                 banks.append(D.motion_kernels(r, b, k))
-            elif t in ("average", "box", "median"):
+            elif t in ("average", "box"):
                 banks.append(D.box_kernels(r, b, k))
+            elif t in ("median", "bilateral"):
+                banks.append(None)  # exact nonlinear op, handled below
             else:
                 banks.append(D.gaussian_kernels(r, b, k, (0.2, 3.0)))
         # pad kernel banks to one size
-        kmax = max(kk.shape[-1] for kk in banks)
-        banks = [jnp.pad(kk, [(0, 0),
+        kmax = max((kk.shape[-1] for kk in banks if kk is not None),
+                   default=21)
+        delta = jnp.zeros((kmax, kmax)).at[kmax // 2, kmax // 2].set(1.0)
+        banks = [jnp.broadcast_to(delta[None], (b, kmax, kmax))
+                 if kk is None else
+                 jnp.pad(kk, [(0, 0),
                               ((kmax - kk.shape[-1]) // 2,) * 2,
                               ((kmax - kk.shape[-1]) // 2,) * 2])
                  for kk in banks]
         # per-type application probability: blend a delta (identity)
         # kernel per sample that skips the blur
-        delta = jnp.zeros((kmax, kmax)).at[kmax // 2, kmax // 2].set(1.0)
         if any(p < 1.0 for p in probs):
             r_p = rngs[-2]
             u = jax.random.uniform(r_p, (b, len(banks), 1, 1))
             pv = jnp.asarray(probs)[None, :, None, None]
             banks = [jnp.where(u[:, i] < pv[:, i], kk, delta[None])
                      for i, kk in enumerate(banks)]
-        kern = D.select_kernels(rngs[-1], banks, weights=weights)
-        return D.apply_kernels(x, kern)
+        # choose type per sample, then compute candidates: the linear
+        # kernel mixture plus exact nonlinear ops (median/bilateral)
+        n = len(types)
+        if weights is not None:
+            pw = jnp.asarray(weights, jnp.float32)
+            pw = pw / pw.sum()
+            choice = jax.random.categorical(
+                rngs[-1], jnp.log(pw + 1e-12)[None].repeat(b, 0))
+        else:
+            choice = jax.random.randint(rngs[-1], (b,), 0, n)
+        nonlinear = {i: t for i, t in enumerate(types)
+                     if t in ("median", "bilateral")}
+        onehot_k = jax.nn.one_hot(choice, n)[:, :, None, None]
+        stack = jnp.stack(banks, axis=1)
+        kern = jnp.sum(stack * onehot_k, axis=1)
+        out = D.apply_kernels(x, kern)
+        for i, t in nonlinear.items():
+            cfg = _cfg_for(cfgs, t, cycle)
+            if t == "median":
+                ksz = int(cfg.get("kernel_size", 3))
+                ksz = ksz if ksz % 2 else ksz + 1
+                y = D.median_blur(x, min(ksz, 11))
+            else:
+                ksz = int(cfg.get("kernel_size", 9))
+                y = D.bilateral_blur(
+                    x, min(ksz if ksz % 2 else ksz + 1, 11),
+                    float(cfg.get("sigmaColor", 75.0) or 75.0),
+                    float(cfg.get("sigmaSpace", 75.0) or 75.0))
+            if probs[i] < 1.0:
+                r_nl = jax.random.fold_in(rngs[-2], i)
+                miss = jax.random.uniform(r_nl, (b, 1, 1, 1)) >= probs[i]
+                y = jnp.where(miss, x, y)
+            sel = (choice == i)[:, None, None, None]
+            out = jnp.where(sel, y, out)
+        return out
 
     return _with_prob(fn, prob)
 
@@ -319,9 +356,27 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
         if t in ("simplequantize", "simple_quantize"):
             n = int(cfg.get("num_colors", cfg.get("rgb_range", 32)))
             return lambda rng, x: D.quantize_colors(x, n)
-        if "quantize" in t:  # quantize / som_quantize / km_quantize
+        if t in ("quantize", "som_quantize"):
+            # SOM lattice quantization (ref RandomQuantizeSOM/minisom)
+            n = int(cfg.get("num_colors", 32))
+            return partial(D.som_quantize, n_colors=n)
+        if "quantize" in t:  # km_quantize
             n = int(cfg.get("num_colors", 32))
             return partial(D.kmeans_quantize, n_colors=n)
+        if t == "clahe":
+            cl = cfg.get("clip_limit", 4.0)
+            cl_hi = float(cl[1] if isinstance(cl, (list, tuple)) else cl)
+            gs = cfg.get("tile_grid_size") or (8, 8)
+
+            def clahe_op(rng, x, cl_hi=cl_hi, gs=tuple(gs)):
+                r1, _ = jax.random.split(rng)
+                u = jax.random.uniform(r1, ())
+                clip = 1.0 + u * (cl_hi - 1.0)
+                if x.shape[1] % gs[0] or x.shape[2] % gs[1]:
+                    return x  # grid must divide the image
+                return D.clahe_batch(x, clip, grid=gs)
+
+            return clahe_op
         if "dither" in t:
             # ref augmentations.py :304-318 substring dispatch
             bw = "bw" in t

@@ -18,6 +18,7 @@ import math
 from functools import partial
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -32,6 +33,48 @@ from ..ops.blocks import (
 
 Dtype = Any
 _cat = partial(jnp.concatenate, axis=-1)
+
+
+class _ConvP(nn.Module):
+    """Declares nn.Conv-compatible params (kernel HWIO + bias) WITHOUT
+    running a convolution — same names/shapes/init as ConvBlock's inner
+    nn.Conv so the .pth interop tree and fresh-init draws are identical.
+    Used by the fused RDB fast path, which consumes the raw weights."""
+
+    features: int
+    in_features: int
+    k: int = 3
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", kaiming_init(0.1),
+                            (self.k, self.k, self.in_features,
+                             self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _NamedConvP(nn.Module):
+    """Scope shim: child named 'Conv_0' so the param path matches
+    ConvBlock(name=X) -> auto-named nn.Conv = X/Conv_0/{kernel,bias}."""
+
+    features: int
+    in_features: int
+    k: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return _ConvP(self.features, self.in_features, self.k,
+                      name="Conv_0")()
+
+
+def _conv3(x, kernel, dtype):
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    return jax.lax.conv_general_dilated(
+        xp, kernel.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
 
 
 class ResidualDenseBlock5C(nn.Module):
@@ -50,8 +93,86 @@ class ResidualDenseBlock5C(nn.Module):
     convtype: str = "Conv2D"  # PartialConv2D supported (ref block.py:214)
     dtype: Dtype = jnp.float32
 
+    def _fused_fast_path(self, x):
+        """MXU-packed exact rewrite of the 5C chain ("scatter to future").
+
+        The naive chain runs four gc(=32)-wide conv outputs — each uses a
+        quarter of the MXU's 128 output lanes. Rearranged, every computed
+        feature immediately emits ALL its future contributions in ONE
+        wide conv (concatenating the input-channel slices of the
+        downstream kernels along the output axis):
+
+          P              = conv(x;  [W1 | W2_x | W3_x | W4_x | W5_x])  192-wide
+          c1 = lrelu(P1+b1);   Q1 = conv(c1; [W2_1|W3_1|W4_1|W5_1])    160
+          c2 = lrelu(P2+Q1a+b2); Q2 = conv(c2; [W3_2|W4_2|W5_2])       128
+          c3 = ...;            Q3 = conv(c3; [W4_3|W5_3])               96
+          c4 = ...;            Q4 = conv(c4; [W5_4])                    64
+          c5 = P5 + Q1d + Q2c + Q3b + Q4 + b5
+
+        Identical FLOPs and results (same weights, bilinear rearrangement)
+        but conv outputs are 192/160/128/96/64 wide instead of
+        32/32/32/32/64 — measured ~1.8x faster G forward on v5e.
+        """
+        nf, gc = self.nf, self.gc
+        dt = self.dtype
+        w1, b1 = _NamedConvP(gc, nf, name="conv1")()
+        w2, b2 = _NamedConvP(gc, nf + gc, name="conv2")()
+        w3, b3 = _NamedConvP(gc, nf + 2 * gc, name="conv3")()
+        w4, b4 = _NamedConvP(gc, nf + 3 * gc, name="conv4")()
+        w5, b5 = _NamedConvP(nf, nf + 4 * gc, name="conv5")()
+
+        def sl(w, a, b):  # input-channel slice
+            return w[:, :, a:b]
+
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        b1 = b1.astype(dt)
+        b2 = b2.astype(dt)
+        b3 = b3.astype(dt)
+        b4 = b4.astype(dt)
+        b5 = b5.astype(dt)
+
+        # stage 0: x's contributions to every conv
+        wx = _cat([w1, sl(w2, 0, nf), sl(w3, 0, nf), sl(w4, 0, nf),
+                   sl(w5, 0, nf)])
+        p = _conv3(x, wx, dt)
+        p1, p2, p3, p4, p5 = jnp.split(p, [gc, 2 * gc, 3 * gc, 4 * gc],
+                                       axis=-1)
+        # stage 1
+        c1 = lrelu(p1 + b1)
+        q = _conv3(c1, _cat([sl(w2, nf, nf + gc), sl(w3, nf, nf + gc),
+                             sl(w4, nf, nf + gc), sl(w5, nf, nf + gc)]), dt)
+        q12, q13, q14, q15 = jnp.split(q, [gc, 2 * gc, 3 * gc], axis=-1)
+        # stage 2
+        c2 = lrelu(p2 + q12 + b2)
+        a = nf + gc
+        q = _conv3(c2, _cat([sl(w3, a, a + gc), sl(w4, a, a + gc),
+                             sl(w5, a, a + gc)]), dt)
+        q23, q24, q25 = jnp.split(q, [gc, 2 * gc], axis=-1)
+        # stage 3
+        c3 = lrelu(p3 + q13 + q23 + b3)
+        a = nf + 2 * gc
+        q = _conv3(c3, _cat([sl(w4, a, a + gc), sl(w5, a, a + gc)]), dt)
+        q34, q35 = jnp.split(q, [gc], axis=-1)
+        # stage 4
+        c4 = lrelu(p4 + q14 + q24 + q34 + b4)
+        a = nf + 3 * gc
+        q45 = _conv3(c4, sl(w5, a, a + gc), dt)
+        # stage 5 (conv5 has no activation in CNA mode)
+        c5 = p5 + q15 + q25 + q35 + q45 + b5
+        return c5 * 0.2 + x
+
     @nn.compact
     def __call__(self, x, train: bool = True):
+        fast = (self.mode == "CNA" and self.kernel_size == 3
+                and self.act_type in ("leakyrelu", "lrelu")
+                and not self.norm_type and not self.plus
+                and not self.spectral_norm and self.conv_dims == 2
+                and self.convtype == "Conv2D")
+        if fast:
+            out = self._fused_fast_path(x)
+            if self.gaussian_noise:
+                out = GaussianNoise(0.1, True, name="noise")(out, train)
+            return out
         cb = partial(
             ConvBlock, kernel_size=self.kernel_size, norm_type=self.norm_type,
             act_type=self.act_type, mode=self.mode,

@@ -47,17 +47,51 @@ from .schedulers import build_scheduler
 from .state import NetState, SRTrainState, ema_update, init_swa, swa_update
 
 
-def clip_grads(grads, mode: Optional[str], value: float):
-    """value/norm gradient clipping (ref base_model.py:896,911)."""
+def clip_grads(grads, mode: Optional[str], value):
+    """value/norm gradient clipping (ref base_model.py:896,911). `value`
+    may be a traced scalar (the AGC percentile value)."""
     if not mode:
         return grads
     if mode == "value":
         return jax.tree.map(lambda g: jnp.clip(g, -value, value), grads)
-    if mode in ("norm", "auto"):  # 'auto' percentile ≈ norm clip fallback
+    if mode in ("norm", "auto"):
         gnorm = optax_global_norm(grads)
         scale = jnp.minimum(1.0, value / (gnorm + 1e-6))
         return jax.tree.map(lambda g: g * scale, grads)
     raise NotImplementedError(f"grad_clip [{mode}]")
+
+
+AGC_HISTORY = 256  # ring-buffer size (the reference keeps an unbounded
+# python list, base_model.py:94; a fixed window is the jit-able analogue)
+
+
+def init_grad_hist() -> dict:
+    return {"vals": jnp.zeros((AGC_HISTORY,), jnp.float32),
+            "n": jnp.zeros((), jnp.int32)}
+
+
+def agc_hist_percentile(hist: dict, percentile: float = 10.0):
+    """Clip value = percentile of the recorded grad-norm history
+    (ref get_auto_norm, base_model.py:896-909)."""
+    vals, n = hist["vals"], hist["n"]
+    k = vals.shape[0]
+    valid = jnp.where(jnp.arange(k) < jnp.minimum(n, k), vals, jnp.nan)
+    clip_val = jnp.nanpercentile(valid, percentile)
+    return jnp.where(n > 0, clip_val, jnp.inf)
+
+
+def agc_percentile_clip(grads, hist: dict, percentile: float = 10.0):
+    """Auto grad clip: record the current global grad norm in the ring
+    buffer, clip to the `percentile`-th percentile of the history
+    INCLUDING the current norm (exactly the reference's get_auto_norm +
+    clip_grad_norm_ sequence, base_model.py:896-922)."""
+    gnorm = optax_global_norm(grads)
+    vals, n = hist["vals"], hist["n"]
+    k = vals.shape[0]
+    new_hist = {"vals": vals.at[jnp.mod(n, k)].set(gnorm), "n": n + 1}
+    clip_val = agc_hist_percentile(new_hist, percentile)
+    scale = jnp.minimum(1.0, clip_val / (gnorm + 1e-6))
+    return jax.tree.map(lambda g: g * scale, grads), new_hist
 
 
 def optax_global_norm(tree):
@@ -217,6 +251,8 @@ class SRTrainer:
                            opt_state=self.optG.init(lv["params"]))
         state = SRTrainState(step=jnp.zeros([], jnp.int32), rng=rstate,
                              g=g, d=d, loc=loc)
+        if self.grad_clip == "auto":
+            state = state.replace(grad_hist=init_grad_hist())
         if self.use_swa:
             state = init_swa(state)
         if self.use_ema:
@@ -360,6 +396,7 @@ class SRTrainer:
         new_g = state.g
         fake_for_d = None
         new_loc = state.loc
+        new_hist = state.grad_hist
         if update_g:
             if self.use_atg and state.loc is not None and atg_on:
                 # joint grads over (G, LocNet) (ref sr_model.py:45-47)
@@ -390,7 +427,12 @@ class SRTrainer:
                 fake_for_d = fakes.reshape(-1, *fakes.shape[2:])
                 glogs = jax.tree.map(jnp.mean, glogs)
                 g_extra = jax.tree.map(lambda x: x[-1], g_extra)
-            grads = clip_grads(grads, self.grad_clip, self.grad_clip_value)
+            if self.grad_clip == "auto" and state.grad_hist is not None:
+                grads, new_hist = agc_percentile_clip(grads,
+                                                      state.grad_hist)
+            else:
+                grads = clip_grads(grads, self.grad_clip,
+                                   self.grad_clip_value)
             new_params, new_opt = self.optG.apply(
                 grads, state.g.opt_state, state.g.params, lr_g)
             new_g = NetState(new_params, new_opt, g_extra)
@@ -434,7 +476,12 @@ class SRTrainer:
                     dfn, state.d.params, fa, ra)
                 dlogs = jax.tree.map(jnp.mean, dlogs)
                 d_extra = jax.tree.map(lambda x: x[-1], d_extra)
-            dgrads = clip_grads(dgrads, self.grad_clip, self.grad_clip_value)
+            if self.grad_clip == "auto" and new_hist is not None:
+                dgrads = clip_grads(dgrads, "norm",
+                                    agc_hist_percentile(new_hist))
+            else:
+                dgrads = clip_grads(dgrads, self.grad_clip,
+                                    self.grad_clip_value)
             if self.freeze_loc:
                 # FreezeD (ref base_model.py:663): zero grads of the first
                 # freeze_loc feature layers (name-sorted module order)
@@ -449,7 +496,7 @@ class SRTrainer:
             logs["l_d_total"] = loss_d
 
         state = state.replace(step=state.step + 1, rng=rng, g=new_g,
-                              d=new_d, loc=new_loc)
+                              d=new_d, loc=new_loc, grad_hist=new_hist)
         if self.use_ema:
             state = ema_update(state, self.ema_decay)
         return state, logs
@@ -591,3 +638,26 @@ class SRTrainer:
                 y = jnp.rot90(y, -rot, (1, 2))
                 outs.append(y)
         return jnp.mean(jnp.stack(outs), axis=0)
+
+    # ------------------------------------------------------------------
+    # SWA BN-statistics refresh (ref base_model.py:180 update_bn on save)
+    # ------------------------------------------------------------------
+    def refresh_swa_bn(self, state, batches):
+        """Return `extra` collections with BatchNorm running stats
+        recomputed for the SWA-averaged params over `batches` of LR
+        images (device arrays). No-op when G has no batch_stats or SWA
+        is not active."""
+        from .state import refresh_bn_stats
+
+        if state.swa_params is None or not state.g.extra:
+            return state.g.extra
+
+        def apply_fn(variables, x, train, mutable):
+            return self.netG.apply(
+                variables, x, train=train,
+                rngs={"noise": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(0)},
+                mutable=mutable)
+
+        return refresh_bn_stats(apply_fn, state.swa_params,
+                                state.g.extra, batches)

@@ -123,7 +123,8 @@ def latest_state_path(state_dir: str) -> Optional[str]:
 
 
 def save_checkpoint(state: Any, opt: dict, epoch: int, niter: int,
-                    latest_only: bool = False) -> None:
+                    latest_only: bool = False,
+                    swa_extra: Optional[dict] = None) -> None:
     """Save per-network params + full training state
     (ref train.py:283-296 + base_model.save/save_training_state).
 
@@ -148,7 +149,12 @@ def save_checkpoint(state: Any, opt: dict, epoch: int, niter: int,
         save_params(state.d.params,
                     os.path.join(model_dir, f"{tag}_D{CKPT_EXT}"))
     if getattr(state, "swa_params", None) is not None:
-        save_params(state.swa_params,
+        swa_tree = state.swa_params
+        if swa_extra:
+            # BN running stats refreshed for the averaged weights
+            # (ref base_model.py:180 update_bn on SWA save)
+            swa_tree = {"params": state.swa_params, **swa_extra}
+        save_params(swa_tree,
                     os.path.join(model_dir, f"{tag}_swaG{CKPT_EXT}"))
     if getattr(state, "ema_params", None) is not None:
         save_params(state.ema_params,
