@@ -184,7 +184,8 @@ def main():
     p.add_argument("kind", choices=["esrgan", "srresnet", "discriminator",
                                     "ppon", "pan", "resnet_g", "sftnet",
                                     "sofvsr", "unet", "aan", "dvd",
-                                    "wbcunet", "abpn", "seg", "vgg",
+                                    "wbcunet", "abpn", "seg", "srflow",
+                                    "edvr", "vgg",
                                     "lpips", "lpips-full", "export"])
     p.add_argument("src")
     p.add_argument("dst")
@@ -203,7 +204,8 @@ def main():
     elif args.kind == "ppon":
         convert_ppon(args.src, args.dst)
     elif args.kind in ("pan", "resnet_g", "sftnet", "sofvsr", "unet",
-                       "aan", "dvd", "wbcunet", "abpn"):
+                       "aan", "dvd", "wbcunet", "abpn", "seg", "srflow",
+                       "edvr"):
         from trainner_tpu.utils import torch_interop as ti
         from trainner_tpu.utils.checkpoint import save_params
         from trainner_tpu.utils.torch_interop import load_state_dict
@@ -215,7 +217,9 @@ def main():
               "dvd": ti.dvdnet_to_params,
               "wbcunet": ti.named_to_params,
               "abpn": ti.abpn_to_params,
-              "seg": ti.seg_to_params}[args.kind]
+              "seg": ti.seg_to_params,
+              "srflow": ti.srflow_to_params,
+              "edvr": ti.edvr_to_params}[args.kind]
         save_params(fn(load_state_dict(args.src)), args.dst, backup=False)
         print(f"{args.kind} params -> {args.dst}")
     elif args.kind == "vgg":

@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# On hosts with bf16 ISA extensions (amx-bf16/avx512bf16) XLA:CPU computes
+# "default"-precision f32 convs/matmuls through a bf16 fast path (~3e-3
+# error), which breaks float-exact parity gates. Pin true f32 for tests.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from trainner_tpu.utils.jax_cache import enable_compilation_cache  # noqa: E402
 

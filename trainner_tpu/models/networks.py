@@ -140,15 +140,38 @@ def _build_dvd(cfg: dict, dtype):
 
 
 def _build_srflow(cfg: dict, dtype):
+    flow = cfg.get("flow") or {}
+    if flow.get("interop") or cfg.get("type") == "srflow_interop":
+        return _build_srflow_interop(cfg, dtype)
     from .srflow import SRFlowNet
 
-    flow = cfg.get("flow") or {}
     return SRFlowNet(in_nc=cfg.get("in_nc", 3), out_nc=cfg.get("out_nc", 3),
                      nf=cfg.get("nf", 64), nb=cfg.get("nb", 23),
                      gc=cfg.get("gc", 32), scale=cfg.get("scale", 4),
                      K=cfg.get("K", 16), L=flow.get("L", 3),
                      hidden_channels=flow.get("hidden_channels", 64),
                      flow_cfg=flow, dtype=dtype)
+
+
+def _build_srflow_interop(cfg: dict, dtype):
+    """Reference-exact SRFlowNet mirror (loads ref SRFlow .pth via
+    utils/torch_interop.srflow_to_params). Select with network_G.flow.
+    interop: true or type: srflow_interop."""
+    from .srflow_interop import SRFlowNetI
+
+    flow = cfg.get("flow") or {}
+    stack = flow.get("stackRRDB") or {}
+    coupling = flow.get("CondAffineSeparatedAndCond") or {}
+    return SRFlowNetI(
+        in_nc=cfg.get("in_nc", 3), out_nc=cfg.get("out_nc", 3),
+        nf=cfg.get("nf", 64), nb=cfg.get("nb", 23), gc=cfg.get("gc", 32),
+        scale=cfg.get("scale", 4), K=cfg.get("K", 16), L=flow.get("L", 3),
+        n_noaffine=int(flow.get("additionalFlowNoAffine", 2)),
+        hidden=int(coupling.get("hidden_channels",
+                                flow.get("hidden_channels", 64)) or 64),
+        quant=float(cfg.get("quant", 255.0) or 255.0),
+        blocks=tuple(stack.get("blocks", (1, 8, 15, 22))),
+        dtype=dtype)
 
 
 def _build_edvr(cfg: dict, dtype):
@@ -238,6 +261,7 @@ _G_REGISTRY: Dict[str, Callable] = {
     "sr3d_net": _build_sr3d,
     "dvd_net": _build_dvd,
     "srflow_net": _build_srflow,
+    "srflow_interop": _build_srflow_interop,
     "edvr_net": _build_edvr,
     "sft_arch": _build_sft,
     "abpn_net": _build_abpn,

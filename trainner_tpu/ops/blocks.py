@@ -136,18 +136,27 @@ def space_to_depth(x: jnp.ndarray, r: int) -> jnp.ndarray:
 
 def interpolate(x: jnp.ndarray, scale: Union[int, float] = None,
                 size: Tuple[int, int] = None, mode: str = "nearest") -> jnp.ndarray:
+    """torch.nn.functional.interpolate semantics (NHWC).
+
+    nearest: src = floor(i * in/out) (torch's asymmetric convention — NOT
+    jax.image's half-pixel rounding). bilinear/bicubic: half-pixel
+    (align_corners=False), NO antialiasing on downscale (torch default;
+    jax.image.resize antialiases by default, which diverges)."""
     b, h, w, c = x.shape
     if size is None:
         size = (int(round(h * scale)), int(round(w * scale)))
     if mode == "nearest":
-        method = jax.image.ResizeMethod.NEAREST
-    elif mode in ("bilinear", "linear"):
+        iy = jnp.floor(jnp.arange(size[0]) * (h / size[0])).astype(jnp.int32)
+        ix = jnp.floor(jnp.arange(size[1]) * (w / size[1])).astype(jnp.int32)
+        return x[:, iy][:, :, ix]
+    if mode in ("bilinear", "linear"):
         method = jax.image.ResizeMethod.LINEAR
     elif mode in ("bicubic", "cubic"):
         method = jax.image.ResizeMethod.CUBIC
     else:
         raise NotImplementedError(f"interpolate mode {mode}")
-    return jax.image.resize(x, (b, size[0], size[1], c), method=method)
+    return jax.image.resize(x, (b, size[0], size[1], c), method=method,
+                            antialias=False)
 
 
 def nearest_up(x: jnp.ndarray, r: int) -> jnp.ndarray:

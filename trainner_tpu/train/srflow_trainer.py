@@ -85,9 +85,11 @@ class SRFlowTrainer:
         (loss, logs), grads = jax.value_and_grad(
             forward, has_aux=True)(state.g.params)
         if not train_rrdb:
-            # zero the RRDB-encoder subtree (ref set_rrdb_training)
-            grads = {**grads,
-                     "RRDB": jax.tree.map(jnp.zeros_like, grads["RRDB"])}
+            # zero the RRDB-encoder subtree (ref set_rrdb_training);
+            # "RRDB" in the TPU redesign, "encoder" in the interop net
+            enc_key = "RRDB" if "RRDB" in grads else "encoder"
+            grads = {**grads, enc_key: jax.tree.map(jnp.zeros_like,
+                                                    grads[enc_key])}
         grads = clip_grads(grads, self.grad_clip, self.grad_clip_value)
         params, opt_state = self.optG.apply(grads, state.g.opt_state,
                                             state.g.params, lr_g)

@@ -915,3 +915,77 @@ def edvr_to_params(sd: Dict[str, np.ndarray]) -> Dict:
     put_conv(("conv_hr",), "conv_hr")
     put_conv(("conv_last",), "conv_last")
     return {"params": params}
+
+
+def srflow_to_params(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a reference SRFlow .pth (ref SRFlowNet_arch.py:14; encoder
+    SRFlow/RRDBNet_arch.py, flow FlowUpsamplerNet + glow primitives) onto
+    the flax SRFlowNetI variables (models/srflow_interop.py).
+
+    The unused `flowUpsamplerNet.f.*` head (constructed but never called,
+    ref FlowUpsamplerNet.py:92-95) is skipped."""
+    params: Dict[str, Any] = {}
+
+    def node(path):
+        n = params
+        for q in path:
+            n = n.setdefault(q, {})
+        return n
+
+    def put_conv(path, w_key, bias=True):
+        n = node(path)
+        n["kernel"] = conv_to_hwio(sd[w_key])
+        b_key = w_key.replace(".weight", ".bias")
+        if bias and b_key in sd:
+            n["bias"] = np.asarray(sd[b_key])
+
+    def put_actnorm(path, prefix):
+        n = node(path)
+        n["bias"] = np.asarray(sd[f"{prefix}.bias"]).reshape(-1)
+        n["logs"] = np.asarray(sd[f"{prefix}.logs"]).reshape(-1)
+
+    def put_glowconv(path, prefix):
+        put_conv(path + ("conv",), f"{prefix}.weight", bias=False)
+        put_actnorm(path + ("actnorm",), f"{prefix}.actnorm")
+
+    def put_glowzeros(path, prefix):
+        put_conv(path + ("conv",), f"{prefix}.weight")
+        node(path)["logs"] = np.asarray(sd[f"{prefix}.logs"]).reshape(-1)
+
+    def put_fnet(path, prefix):
+        put_glowconv(path + ("f0",), f"{prefix}.0")
+        put_glowconv(path + ("f2",), f"{prefix}.2")
+        put_glowzeros(path + ("f4",), f"{prefix}.4")
+
+    # --- encoder (RRDB.*) ---
+    enc = ("encoder",)
+    put_conv(enc + ("conv_first",), "RRDB.conv_first.weight")
+    n_blocks = len({k.split(".")[2] for k in sd
+                    if k.startswith("RRDB.RRDB_trunk.")})
+    for i in range(n_blocks):
+        for m in (1, 2, 3):
+            for c in (1, 2, 3, 4, 5):
+                put_conv(enc + (f"RRDB{i}", f"RDB{m}", f"conv{c}",
+                                "Conv_0"),
+                         f"RRDB.RRDB_trunk.{i}.RDB{m}.conv{c}.weight")
+    for name in ("trunk_conv", "upconv1", "upconv2", "HRconv",
+                 "conv_last"):
+        put_conv(enc + (name,), f"RRDB.{name}.weight")
+
+    # --- flow layers ---
+    layer_ids = sorted({int(k.split(".")[2]) for k in sd
+                        if k.startswith("flowUpsamplerNet.layers.")})
+    for i in layer_ids:
+        pre = f"flowUpsamplerNet.layers.{i}"
+        lp = (f"layers_{i}",)
+        if f"{pre}.actnorm.bias" in sd:  # FlowStep
+            put_actnorm(lp + ("actnorm",), f"{pre}.actnorm")
+            node(lp + ("invconv",))["weight"] = np.asarray(
+                sd[f"{pre}.invconv.weight"])
+            if f"{pre}.affine.fAffine.0.weight" in sd:
+                put_fnet(lp + ("affine", "fAffine"), f"{pre}.affine.fAffine")
+                put_fnet(lp + ("affine", "fFeatures"),
+                         f"{pre}.affine.fFeatures")
+        elif f"{pre}.conv.weight" in sd:  # Split2d
+            put_glowzeros(lp + ("conv",), f"{pre}.conv")
+    return {"params": params}
