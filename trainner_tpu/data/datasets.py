@@ -164,6 +164,17 @@ class AlignedDataset:
                       else H.webp_compress_exact(lr, q))
             elif t == "clahe":
                 lr = H.clahe_exact(lr)
+            elif t == "superpixels":
+                from .host_superpixels import superpixels as _sp
+
+                n_seg = int(o.get("sp_n_segments", 200))
+                p_rep = float(o.get("sp_p_replace", 1.0))
+                lr = _sp(lr, n_segments=n_seg,
+                         algo=str(o.get("sp_algo", "slic")),
+                         kind=str(o.get("sp_kind", "mix")),
+                         reduction=o.get("sp_reduction"),
+                         replace_samples=(rng.random(n_seg) < p_rep
+                                          ).tolist())
             else:
                 lr = H.gaussian_noise_exact(
                     lr, float(rng.uniform(1, 25)), rng)
