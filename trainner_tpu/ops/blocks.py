@@ -146,6 +146,13 @@ def interpolate(x: jnp.ndarray, scale: Union[int, float] = None,
     if size is None:
         size = (int(round(h * scale)), int(round(w * scale)))
     if mode == "nearest":
+        # integer factors reduce to repeat / strided-slice (same indices
+        # as the general floor(i*in/out) gather, but XLA-optimal)
+        if size[0] % h == 0 and size[1] % w == 0 and \
+                size[0] // h == size[1] // w and size[0] > h:
+            return nearest_up(x, size[0] // h)
+        if h % size[0] == 0 and w % size[1] == 0 and size[0] <= h:
+            return x[:, :: h // size[0], :: w // size[1]]
         iy = jnp.floor(jnp.arange(size[0]) * (h / size[0])).astype(jnp.int32)
         ix = jnp.floor(jnp.arange(size[1]) * (w / size[1])).astype(jnp.int32)
         return x[:, iy][:, :, ix]
