@@ -82,6 +82,33 @@ def test_wbc_trainer_step():
     assert y.shape == batch["A"].shape
 
 
+def test_wbc_trainer_exact_host_superpixels():
+    """sp_exact: true routes the structure representation through the
+    host-exact superpixels (felzenszwalb + reduction) via pure_callback
+    inside the jitted G step (ref wbc_model.py:44-58 defaults)."""
+    from trainner_tpu.train.wbc_trainer import WBCTrainer
+
+    opt = {"is_train": True, "model": "wbc", "pool_size": 8,
+           "network_G": {"type": "wbcunet_net", "nf": 8},
+           "network_D": {"type": "patchgan", "ndf": 8, "n_layers": 1},
+           "train": {"lr_G": 2e-4, "lr_D": 2e-4, "gan_type": "lsgan",
+                     "gan_weight": 1.0, "pixel_criterion": "l1",
+                     "pixel_weight": 1.0, "cont_losses": ["pix"],
+                     "struct_losses": ["pix"], "reg_losses": [],
+                     "sp_exact": True, "sp_n_segments": 12,
+                     "sp_algo": "sk_felzenszwalb",
+                     "sp_reduction": "rag", "sp_max_size": 24,
+                     "lr_scheme": "MultiStepLR", "lr_steps": [100],
+                     "niter": 100}}
+    tr = WBCTrainer(opt)
+    assert tr.sp_exact
+    batch = _batch(2)
+    state = tr.init_state_from_batch(jax.random.PRNGKey(0), batch)
+    state, logs = tr.train_step(state, batch)
+    assert int(state.step) == 1
+    assert np.isfinite(float(logs["l_g_total"]))
+
+
 def test_slic_superpixel_flattens():
     from trainner_tpu.ops.superpixel import slic_segment_mean
 

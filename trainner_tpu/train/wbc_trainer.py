@@ -14,7 +14,11 @@ lambda_identity.
 
 TPU-native: all representations (incl. superpixels, ops/superpixel.py)
 compute on device inside the jitted G step; pools swap host-side between
-the G and D steps as in the CycleGAN trainer.
+the G and D steps as in the CycleGAN trainer. `sp_exact: true` opts into
+the reference's exact host superpixels (sk_felzenszwalb + selective
+reduction + adaptive mix coloring, ref wbc_model.py:44-58 defaults) via
+jax.pure_callback — a device->host round trip per step, for when fidelity
+to the reference's structure representation matters more than step time.
 """
 
 from __future__ import annotations
@@ -104,6 +108,12 @@ class WBCTrainer:
         self.gf_surf_eps = float(train_opt.get("surf_guided_filter_eps",
                                                2e-1))
         self.sp_n_segments = int(train_opt.get("sp_n_segments", 200) or 200)
+        # exact host superpixels (ref wbc_model.py:44-58 defaults)
+        self.sp_exact = bool(train_opt.get("sp_exact"))
+        self.sp_algo = str(train_opt.get("sp_algo", "sk_felzenszwalb"))
+        self.sp_reduction = train_opt.get("sp_reduction", "selective")
+        self.sp_kind = str(train_opt.get("sp_kind", "mix"))
+        self.sp_max_size = train_opt.get("sp_max_size")
 
         self.generator_loss = GeneratorLoss(opt, device_dtype=dtype) \
             if self.is_train else None
@@ -189,9 +199,30 @@ class WBCTrainer:
         real_blur = guided_filter(real_b, real_b, self.gf_surf_r,
                                   self.gf_surf_eps)
         fake_gray, real_gray = color_shift(r1, fake_b, real_b)
-        sp_real = superpixel_structure(
-            r2, jax.lax.stop_gradient(fake_b),
-            n_segments=self.sp_n_segments)
+        sp_in = jax.lax.stop_gradient(fake_b)
+        if self.sp_exact:
+            def _host_sp(imgs):
+                from ..data.host_superpixels import superpixels as _sp
+
+                out = np.stack([
+                    _sp(np.asarray(im, np.float32),
+                        n_segments=self.sp_n_segments, algo=self.sp_algo,
+                        kind=self.sp_kind, reduction=self.sp_reduction,
+                        max_size=self.sp_max_size)
+                    for im in imgs])
+                return out.astype(np.float32)
+
+            sp = jax.pure_callback(
+                _host_sp,
+                jax.ShapeDtypeStruct(sp_in.shape, jnp.float32),
+                jnp.clip(sp_in.astype(jnp.float32), 0.0, 1.0))
+            # ref composes RandomGamma(100,120)/100 after the transform
+            gamma = jax.random.uniform(r2, (sp.shape[0], 1, 1, 1),
+                                       minval=1.0, maxval=1.2)
+            sp_real = jnp.clip(sp, 1e-6, 1.0) ** gamma
+        else:
+            sp_real = superpixel_structure(
+                r2, sp_in, n_segments=self.sp_n_segments)
         return fake_blur, real_blur, fake_gray, real_gray, sp_real
 
     # ------------------------------------------------------------------
