@@ -190,3 +190,26 @@ def test_train_realesrgan_template_parses():
     # overlay resolved: pipeline/aug configs materialized on the dataset
     assert ds.get("aug_configs") or ds.get("lr_blur_types") \
         or ds.get("aug_params") or ds.get("pipeline")
+
+
+def test_all_shipped_templates_parse():
+    """Every option template in options/ parses (train_* as is_train,
+    test_* as inference) and resolves a known model key — mirrors the
+    reference's template set (options/sr|srflow|video|i2i)."""
+    import glob
+    import os
+
+    from trainner_tpu.options import parse
+
+    root = os.path.join(os.path.dirname(__file__), "..", "options")
+    files = sorted(glob.glob(os.path.join(root, "**", "*.yml"),
+                             recursive=True) +
+                   glob.glob(os.path.join(root, "**", "*.json"),
+                             recursive=True))
+    assert len(files) >= 16, files
+    for f in files:
+        is_train = os.path.basename(f).startswith("train")
+        opt = parse(f, is_train=is_train)
+        assert opt.get("model") in (
+            "sr", "srgan", "srflow", "vsr", "vsrgan", "dvd", "sftgan",
+            "pix2pix", "cyclegan", "wbc", "ppon", "pbr"), f
