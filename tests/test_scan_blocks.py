@@ -1,0 +1,90 @@
+"""scan_blocks trunk: lax.scan over stacked per-block params compiles
+the ESRGAN trunk once (~14x faster XLA compile at nb=23) and computes
+the SAME function as the unrolled RRDB{i} modules. Gated by exact
+output equivalence through the stack/unstack layout adapters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trainner_tpu.models.rrdb import (
+    RRDBNet,
+    stack_rrdb_params,
+    unstack_rrdb_params,
+)
+
+
+def _nets(nb=4):
+    kw = dict(nf=16, nb=nb, gc=8, upscale=4, gaussian_noise=False,
+              dtype=jnp.float32)
+    return (RRDBNet(scan_blocks=False, **kw),
+            RRDBNet(scan_blocks=True, **kw))
+
+
+def test_scan_blocks_matches_unrolled():
+    unrolled, scanned = _nets()
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    v = unrolled.init(jax.random.PRNGKey(1), x, False)
+    y_ref = unrolled.apply(v, x, False)
+
+    v_scan = {"params": stack_rrdb_params(
+        jax.tree.map(np.asarray, v["params"]))}
+    y_scan = scanned.apply(v_scan, x, False)
+    err = float(jnp.abs(y_ref - y_scan).max())
+    assert err < 1e-6, err
+
+
+def test_stack_unstack_roundtrip():
+    unrolled, scanned = _nets()
+    x = jnp.zeros((1, 8, 8, 3))
+    v = jax.tree.map(np.asarray,
+                     unrolled.init(jax.random.PRNGKey(2), x, False)["params"])
+    rt = unstack_rrdb_params(stack_rrdb_params(v))
+    flat_a = jax.tree.leaves(v)
+    flat_b = jax.tree.leaves(rt)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        assert np.array_equal(a, b)
+
+
+def test_scan_blocks_trains():
+    _, scanned = _nets()
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    v = scanned.init(jax.random.PRNGKey(1), x, False)
+    # stacked layout: leaves carry the leading (nb,) axis
+    lead = jax.tree.leaves(v["params"]["RRDBs"])[0].shape[0]
+    assert lead == 4
+
+    def loss(p):
+        y = scanned.apply({"params": p}, x, True)
+        return jnp.mean((y - 1.0) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    gnorm = float(jnp.sqrt(sum(jnp.sum(t ** 2)
+                               for t in jax.tree.leaves(g))))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_load_params_adapts_trunk_layout(tmp_path):
+    """A per-block checkpoint loads into a scan_blocks net (and back) via
+    load_params' automatic RRDB layout adaptation."""
+    from trainner_tpu.utils.checkpoint import load_params, save_params
+
+    unrolled, scanned = _nets()
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 8, 8, 3))
+    v = unrolled.init(jax.random.PRNGKey(1), x, False)
+    p = str(tmp_path / "g.ckpt")
+    save_params(v["params"], p, backup=False)
+
+    v_scan_t = scanned.init(jax.random.PRNGKey(2), x, False)
+    loaded = load_params(p, v_scan_t["params"])
+    y_ref = unrolled.apply(v, x, False)
+    y_scan = scanned.apply({"params": loaded}, x, False)
+    assert float(jnp.abs(y_ref - y_scan).max()) < 1e-6
+
+    # and the reverse direction: scan checkpoint -> unrolled net
+    p2 = str(tmp_path / "g_scan.ckpt")
+    save_params(loaded, p2, backup=False)
+    back = load_params(p2, v["params"])
+    y_back = unrolled.apply({"params": back}, x, False)
+    assert float(jnp.abs(y_ref - y_back).max()) < 1e-6

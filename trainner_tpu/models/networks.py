@@ -41,6 +41,7 @@ def _build_rrdb(cfg: dict, dtype) -> RRDBNet:
         convtype=("PartialConv2D"
                   if str(cfg.get("convtype", "")).lower() == "partialconv2d"
                   else "Conv2D"),
+        scan_blocks=bool(cfg.get("scan_blocks", False)),
         dtype=dtype)
 
 
@@ -48,6 +49,7 @@ def _build_mrrdb(cfg: dict, dtype) -> MRRDBNet:
     return MRRDBNet(in_nc=cfg.get("in_nc", 3), out_nc=cfg.get("out_nc", 3),
                     nf=cfg.get("nf", 64), nb=cfg.get("nb", 23),
                     gc=cfg.get("gc", 32), upscale=cfg.get("upscale", 4),
+                    scan_blocks=bool(cfg.get("scan_blocks", False)),
                     dtype=dtype)
 
 

@@ -50,11 +50,47 @@ def save_params(params: Any, path: str, backup: bool = True) -> None:
 
 
 def load_params(path: str, target: Any = None) -> Any:
+    """Restore one network's params; when `target` is given and the
+    stored tree uses the other RRDB-trunk layout (unrolled RRDB{i} vs
+    scan-stacked RRDBs — models/rrdb.py scan_blocks), the checkpoint is
+    converted to the target's layout before restoring."""
     with open(path, "rb") as f:
         data = f.read()
-    if target is not None:
+    if target is None:
+        return serialization.msgpack_restore(data)
+    try:
         return serialization.from_bytes(target, data)
-    return serialization.msgpack_restore(data)
+    except (ValueError, KeyError):
+        raw = serialization.msgpack_restore(data)
+        converted = _adapt_rrdb_layout(raw, target)
+        if converted is raw:
+            raise
+        return serialization.from_state_dict(target, converted)
+
+
+def _adapt_rrdb_layout(raw: Any, target: Any) -> Any:
+    """Stack/unstack the RRDB trunk subtree to match the target layout."""
+    from ..models.rrdb import stack_rrdb_params, unstack_rrdb_params
+
+    changed = [False]
+
+    def fix(node, tgt):
+        if not (isinstance(node, dict) and isinstance(tgt, dict)):
+            return node
+        has_unrolled = any(k.startswith("RRDB") and k[4:].isdigit()
+                           for k in node)
+        if "RRDBs" in tgt and has_unrolled:
+            node = stack_rrdb_params(node)
+            changed[0] = True
+        elif "RRDBs" in node and "RRDBs" not in tgt:
+            node = unstack_rrdb_params(node)
+            changed[0] = True
+        return {k: fix(v, tgt.get(k)) if isinstance(v, dict) else v
+                for k, v in node.items()}
+
+    tgt_sd = serialization.to_state_dict(target)
+    fixed = fix(raw, tgt_sd)
+    return fixed if changed[0] else raw
 
 
 def save_state(state: Any, path: str, epoch: int = 0,
