@@ -83,6 +83,25 @@ class AlignedDataset:
         # round-trips / cv2 blurs per sample in the loader workers —
         # the parity-exact alternative to the on-device pipeline
         self.host_otf = (dataset_opt.get("otf_mode") == "host")
+        # when the on-device pipeline regenerates LR from HR (blind-SR
+        # presets have a resize stage), the host's MATLAB downscale of
+        # the full HR per sample is discarded work — replace it with a
+        # free strided subsample placeholder of the right shape
+        self.skip_host_lr = False
+        if self.phase == "train" and self.lr_paths is None and \
+                not self.host_otf:
+            try:
+                from .pipeline import BatchDegrader, get_unpaired_params
+
+                lr_p, _ = get_unpaired_params(dataset_opt)
+                if lr_p:
+                    deg = BatchDegrader(dataset_opt, "lr", lr_p)
+                    # same condition train.make_otf_degradation uses to
+                    # decide that LR is regenerated from the HR batch
+                    self.skip_host_lr = any(n == "resize"
+                                            for n, _ in deg.stages)
+            except Exception:
+                self.skip_host_lr = False
         # optional subset file: one relative path per line
         # (ref base_dataset read_dataroots:134 subset support)
         subset = dataset_opt.get("subset_file")
@@ -108,7 +127,12 @@ class AlignedDataset:
                 lr = channel_convert(lr, self.color)
         else:
             hr = modcrop(hr, self.scale)
-            lr = imresize_np(hr, 1.0 / self.scale, kernel="cubic")
+            # strided placeholder when the on-device pipeline regenerates
+            # LR from HR anyway (blind-SR) — the MATLAB downscale of the
+            # full image per sample would be discarded host work
+            lr = (np.ascontiguousarray(hr[:: self.scale, :: self.scale])
+                  if self.skip_host_lr
+                  else imresize_np(hr, 1.0 / self.scale, kernel="cubic"))
         if self.phase == "train":
             if self.aug_downscale and rng.random() < self.aug_downscale:
                 # shrink HR (and regenerate LR) to diversify effective
@@ -120,7 +144,10 @@ class AlignedDataset:
                             self.hr_crop)
                 if new_h < hr.shape[0] and new_w < hr.shape[1]:
                     hr = imresize_np(hr, out_shape=(new_h, new_w))
-                    lr = imresize_np(hr, 1.0 / self.scale)
+                    lr = (np.ascontiguousarray(
+                        hr[:: self.scale, :: self.scale])
+                        if self.skip_host_lr
+                        else imresize_np(hr, 1.0 / self.scale))
             hr, lr = paired_random_crop(hr, lr, self.hr_crop, self.scale,
                                         rng)
             hr, lr = augment_pair([hr, lr], self.use_flip, self.use_rot,
