@@ -88,3 +88,36 @@ def test_load_params_adapts_trunk_layout(tmp_path):
     back = load_params(p2, v["params"])
     y_back = unrolled.apply({"params": back}, x, False)
     assert float(jnp.abs(y_ref - y_back).max()) < 1e-6
+
+
+def test_scan_blocks_shards_over_mesh():
+    """The scan-stacked trunk trains under data x fsdp sharding — stacked
+    (nb, ...) leaves get a valid largest-divisible-dim fsdp spec."""
+    from trainner_tpu.parallel.mesh import (
+        MeshConfig,
+        batch_sharding,
+        make_mesh,
+        param_sharding,
+    )
+    from trainner_tpu.train.sr_trainer import SRTrainer
+
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    opt = {"is_train": True, "scale": 4, "model": "sr",
+           "network_G": {"type": "rrdb_net", "nf": 16, "nb": 3, "gc": 8,
+                         "upscale": 4, "scan_blocks": True},
+           "train": {"lr_G": 1e-4, "pixel_criterion": "l1",
+                     "pixel_weight": 1.0, "lr_scheme": "MultiStepLR",
+                     "lr_steps": [10], "niter": 10}}
+    tr = SRTrainer(opt, mesh=mesh)
+    state = tr.init_state(jax.random.PRNGKey(0), (8, 8, 8, 3))
+    assert "RRDBs" in state.g.params
+    sh = param_sharding(state.g.params, mesh)
+    state = state.replace(g=state.g.replace(
+        params=jax.device_put(state.g.params, sh)))
+    b_sh = batch_sharding(mesh)
+    batch = {"LR": jax.device_put(np.random.rand(8, 8, 8, 3)
+                                  .astype(np.float32), b_sh),
+             "HR": jax.device_put(np.random.rand(8, 32, 32, 3)
+                                  .astype(np.float32), b_sh)}
+    state, logs = tr.train_step(state, batch)
+    assert np.isfinite(float(logs["l_g_total"]))
