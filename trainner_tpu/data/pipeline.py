@@ -708,6 +708,26 @@ class BatchDegrader:
 
         return jax.jit(run)
 
+    def _warm_orders_async(self, rng, images) -> None:
+        """Pre-compile every shuffle order's program CONCURRENTLY in
+        background threads (the axon relay compiles in parallel — 8
+        sequential multi-minute remote compiles collapse to ~1). Each
+        thread populates the persistent XLA compilation cache via
+        lower().compile(); the dispatch-path jit then loads from it."""
+        import threading
+
+        rng_s = jax.ShapeDtypeStruct(rng.shape, rng.dtype)
+        img_s = jax.ShapeDtypeStruct(images.shape, images.dtype)
+
+        def warm(order):
+            try:
+                self._build(order).lower(rng_s, img_s).compile()
+            except Exception:
+                pass  # fall back to on-demand compile at dispatch
+
+        for o in self._orders:
+            threading.Thread(target=warm, args=(o,), daemon=True).start()
+
     def __call__(self, rng: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
         if self.is_noop:
             return images
@@ -730,6 +750,7 @@ class BatchDegrader:
                     gen.shuffle(idx)
                     self._orders.append(tuple(idx))
                 self._order_rng = _pyrandom.Random(1)
+                self._warm_orders_async(rng, images)
             order = self._order_rng.choice(self._orders)
         if order not in self._jitted:
             self._jitted[order] = self._build(order)
