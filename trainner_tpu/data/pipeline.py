@@ -716,6 +716,8 @@ class BatchDegrader:
         lower().compile(); the dispatch-path jit then loads from it."""
         import threading
 
+        if jax.default_backend() == "cpu":
+            return  # local compiles are cheap; don't contend for cores
         rng_s = jax.ShapeDtypeStruct(rng.shape, rng.dtype)
         img_s = jax.ShapeDtypeStruct(images.shape, images.dtype)
 
