@@ -105,7 +105,8 @@ def bench_train_e2e(n_warmup: int = 3, n_iters: int = 20) -> dict:
             "name": "bench", "mode": "aligned", "dataroot_HR": root,
             "crop_size": 128, "batch_size": batch_size, "use_flip": True,
             "use_rot": True, "augs_strategy": "bsrgan",
-            "resize_strat": "in", "n_workers": 4}},
+            "resize_strat": "in", "n_workers": 4,
+            "wire_dtype": "uint8"}},
         "network_G": {"type": "rrdb_net", "nf": 64, "nb": 23, "gc": 32,
                       "upscale": 4},
         "network_D": {"type": "discriminator_vgg", "size": 128,

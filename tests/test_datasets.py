@@ -177,3 +177,34 @@ def test_seg_dataset(video_root, tmp_path):
     # missing seg file -> uniform fallback
     s2 = ds[1]
     assert np.allclose(s2["seg"], 1.0 / 8)
+
+
+def test_uint8_wire_format(tmp_path):
+    """wire_dtype: uint8 ships u8 batches (lossless for 8-bit sources);
+    the trainer-side wire_to_f01 restores the float values exactly."""
+    import cv2
+    import jax.numpy as jnp
+
+    from trainner_tpu.data.datasets import AlignedDataset
+    from trainner_tpu.ops.blocks import wire_to_f01
+
+    hr_dir = tmp_path / "hr"
+    hr_dir.mkdir()
+    src = (np.random.default_rng(0).random((64, 64, 3)) * 255
+           ).astype(np.uint8)
+    cv2.imwrite(str(hr_dir / "a.png"), src)
+    base = {"phase": "train", "dataroot_HR": str(hr_dir), "scale": 2,
+            "crop_size": 32, "use_flip": False, "use_rot": False}
+    ds_u8 = AlignedDataset({**base, "wire_dtype": "uint8"})
+    ds_f32 = AlignedDataset(base)
+    s8, sf = ds_u8[0], ds_f32[0]
+    assert s8["HR"].dtype == np.uint8
+    assert sf["HR"].dtype == np.float32
+    back = np.asarray(wire_to_f01(jnp.asarray(s8["HR"])))
+    # crops are random; compare value SETS of the source image instead
+    vals8 = set(np.unique(s8["HR"]).tolist())
+    assert vals8 <= set(np.unique(src).tolist())
+    assert np.abs(back * 255.0 - s8["HR"].astype(np.float32)).max() < 1e-4
+    # znorm composes on device
+    z = np.asarray(wire_to_f01(jnp.asarray(s8["HR"]), znorm=True))
+    assert -1.0 <= z.min() and z.max() <= 1.0

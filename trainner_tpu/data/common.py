@@ -199,9 +199,16 @@ def paired_random_crop(hr: np.ndarray, lr: np.ndarray, hr_crop: int,
     return hr_c, lr_c
 
 
-def img2tensor(img: np.ndarray, znorm: bool = False) -> np.ndarray:
+def img2tensor(img: np.ndarray, znorm: bool = False,
+               wire_u8: bool = False) -> np.ndarray:
     """HWC float32 [0,1] -> training array; znorm maps to [-1,1]
-    (ref np2tensor:470; layout stays HWC for TPU)."""
+    (ref np2tensor:470; layout stays HWC for TPU).
+
+    wire_u8 keeps the array uint8 on the wire (4x less host->device
+    traffic; lossless for 8-bit sources) — trainers normalize on device
+    via ops.blocks.wire_to_f01 (znorm composes there)."""
+    if wire_u8:
+        return np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
     img = img.astype(np.float32)
     if znorm:
         img = img * 2.0 - 1.0

@@ -71,6 +71,10 @@ class AlignedDataset:
             if len(lr) == len(self.hr_paths):
                 self.lr_paths = lr
         self.znorm = bool(dataset_opt.get("znorm"))
+        # uint8 wire format: 4x less host->device traffic, lossless for
+        # 8-bit sources; device normalizes (ops/blocks.wire_to_f01)
+        self.wire_u8 = str(dataset_opt.get("wire_dtype", "")
+                           ).lower() in ("u8", "uint8")
         self.color = dataset_opt.get("color")
         self.use_flip = bool(dataset_opt.get("use_flip", True))
         self.use_rot = bool(dataset_opt.get("use_rot", True))
@@ -158,8 +162,8 @@ class AlignedDataset:
                     : hr.shape[1] // self.scale]
         if self.host_otf and self.phase == "train":
             lr = self._host_degrade(lr, rng)
-        return {"LR": img2tensor(lr, self.znorm),
-                "HR": img2tensor(hr, self.znorm),
+        return {"LR": img2tensor(lr, self.znorm, self.wire_u8),
+                "HR": img2tensor(hr, self.znorm, self.wire_u8),
                 "LR_path": self.lr_paths[index] if self.lr_paths
                 else self.hr_paths[index],
                 "HR_path": self.hr_paths[index]}

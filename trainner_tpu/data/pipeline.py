@@ -689,7 +689,9 @@ class BatchDegrader:
             return x
 
         def run(rng, x):
-            x = x.astype(jnp.float32)
+            from ..ops.blocks import wire_to_f01
+
+            x = wire_to_f01(x)
             for _, fn in stages:
                 rng, r = jax.random.split(rng)
                 x = fn(r, x)

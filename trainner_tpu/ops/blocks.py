@@ -166,6 +166,17 @@ def interpolate(x: jnp.ndarray, scale: Union[int, float] = None,
                             antialias=False)
 
 
+def wire_to_f01(x: jnp.ndarray, znorm: bool = False) -> jnp.ndarray:
+    """Device-side normalization of wire batches: uint8 -> [0,1] float32
+    (/255), float dtypes pass through as float32. znorm remaps to [-1,1]
+    for uint8 wires (float wires are assumed already normalized by the
+    dataset)."""
+    if x.dtype == jnp.uint8:
+        y = x.astype(jnp.float32) * (1.0 / 255.0)
+        return y * 2.0 - 1.0 if znorm else y
+    return x.astype(jnp.float32)
+
+
 def nearest_up(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """Exact nearest 2x/3x/... upsample as repeat (cheaper + exact vs resize)."""
     b, h, w, c = x.shape

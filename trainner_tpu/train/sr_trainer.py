@@ -38,7 +38,7 @@ from ..losses.gan import AdversarialLoss, build_adversarial
 from ..losses.generator_loss import GeneratorLoss
 from ..models.networks import define_D, define_G
 from ..ops.batchaug import BatchAugment
-from ..ops.blocks import interpolate, space_to_depth
+from ..ops.blocks import interpolate, space_to_depth, wire_to_f01
 from ..ops.diffaug import diff_augment
 from ..ops.filters import filter_high, filter_low
 from ..parallel.mesh import batch_sharding
@@ -110,6 +110,10 @@ class SRTrainer:
         train_opt = opt.get("train") or {}
         self.train_opt = train_opt
         self.scale = int(opt.get("scale", 4) or 4)
+        # uint8 wire batches renormalize on device with the train
+        # dataset's znorm convention
+        self.znorm = bool(((opt.get("datasets") or {}).get("train")
+                           or {}).get("znorm"))
 
         # networks -----------------------------------------------------
         self.netG = define_G(opt, dtype=dtype)
@@ -299,8 +303,9 @@ class SRTrainer:
                     atg_on: bool = False
                     ) -> Tuple[SRTrainState, Dict[str, jnp.ndarray]]:
         rng, r_aug, r_da, r_gp, r_noise = jax.random.split(state.rng, 5)
-        lr_img = batch["LR"].astype(jnp.float32)
-        hr_img = batch["HR"].astype(jnp.float32)
+        # uint8 wire batches normalize on device (ops/blocks.wire_to_f01)
+        lr_img = wire_to_f01(batch["LR"], self.znorm)
+        hr_img = wire_to_f01(batch["HR"], self.znorm)
         logs: Dict[str, jnp.ndarray] = {}
 
         # batch augmentations (ref sr_model.py:213-220)
