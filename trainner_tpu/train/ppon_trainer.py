@@ -70,9 +70,11 @@ class PPONTrainer(SRTrainer):
     # ------------------------------------------------------------------
     def _train_step_ppon(self, state: SRTrainState, batch, lr_g, lr_d,
                          *, phase: int):
+        from ..ops.blocks import wire_to_f01
+
         rng, r_noise, r_gp = jax.random.split(state.rng, 3)
-        lr_img = batch["LR"].astype(jnp.float32)
-        hr_img = batch["HR"].astype(jnp.float32)
+        lr_img = wire_to_f01(batch["LR"], self.znorm)
+        hr_img = wire_to_f01(batch["HR"], self.znorm)
         selectors = self._phase_selectors(phase)
         use_gan = self.use_gan and phase == 3
         logs: Dict[str, jnp.ndarray] = {}
