@@ -252,6 +252,8 @@ class UnalignedDataset:
         self.crop = int(dataset_opt.get("crop_size", 256) or 256)
         self.phase = dataset_opt.get("phase", "train")
         self.znorm = bool(dataset_opt.get("znorm", True))
+        self.wire_u8 = str(dataset_opt.get("wire_dtype", "")
+                           ).lower() in ("u8", "uint8")
         self.use_flip = bool(dataset_opt.get("use_flip", True))
 
     def __len__(self) -> int:
@@ -271,7 +273,7 @@ class UnalignedDataset:
             img = img[y: y + self.crop, x: x + self.crop]
             if self.use_flip and rng.random() < 0.5:
                 img = np.ascontiguousarray(img[:, ::-1])
-        return img2tensor(img, self.znorm)
+        return img2tensor(img, self.znorm, self.wire_u8)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng()

@@ -26,6 +26,7 @@ from flax import struct
 from jax.sharding import Mesh
 
 from ..losses.basic import get_pixel_criterion
+from ..ops.blocks import wire_to_f01
 from ..losses.gan import build_adversarial
 from ..losses.generator_loss import GeneratorLoss
 from ..models.networks import define_D, define_G
@@ -56,6 +57,8 @@ class CycleGANTrainer:
     def __init__(self, opt: dict, mesh: Optional[Mesh] = None,
                  dtype=jnp.float32):
         self.opt = opt
+        self.znorm = bool((((opt.get("datasets") or {}).get("train")
+                            or {}).get("znorm", True)))
         self.mesh = mesh
         self.dtype = dtype
         train_opt = opt.get("train") or {}
@@ -166,8 +169,8 @@ class CycleGANTrainer:
     # ------------------------------------------------------------------
     def _g_step(self, state: CycleGANState, batch, lr_g):
         rng, r1, r2, r3, r4 = jax.random.split(state.rng, 5)
-        real_a = batch["A"].astype(jnp.float32)
-        real_b = batch["B"].astype(jnp.float32)
+        real_a = wire_to_f01(batch["A"], self.znorm)
+        real_b = wire_to_f01(batch["B"], self.znorm)
 
         def forward(params):
             extra = state.g.extra
@@ -224,8 +227,8 @@ class CycleGANTrainer:
         return state.replace(rng=rng, g=new_g), logs, fake_a, fake_b
 
     def _d_step(self, state: CycleGANState, batch, fake_a, fake_b, lr_d):
-        real_a = batch["A"].astype(jnp.float32)
-        real_b = batch["B"].astype(jnp.float32)
+        real_a = wire_to_f01(batch["A"], self.znorm)
+        real_b = wire_to_f01(batch["B"], self.znorm)
         logs: Dict[str, jnp.ndarray] = {}
         new_ds = []
         for tag, net, d_state, fake, real in (

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
+from ..ops.blocks import wire_to_f01
 from ..losses.gan import build_adversarial
 from ..losses.generator_loss import GeneratorLoss
 from ..models.networks import define_D, define_G
@@ -35,6 +36,8 @@ class Pix2PixTrainer:
     def __init__(self, opt: dict, mesh: Optional[Mesh] = None,
                  dtype=jnp.float32):
         self.opt = opt
+        self.znorm = bool((((opt.get("datasets") or {}).get("train")
+                            or {}).get("znorm", True)))
         self.mesh = mesh
         self.dtype = dtype
         train_opt = opt.get("train") or {}
@@ -131,8 +134,8 @@ class Pix2PixTrainer:
     # ------------------------------------------------------------------
     def _train_step(self, state: SRTrainState, batch, lr_g, lr_d):
         rng, r_g = jax.random.split(state.rng)
-        real_a = batch["A"].astype(jnp.float32)
-        real_b = batch["B"].astype(jnp.float32)
+        real_a = wire_to_f01(batch["A"], self.znorm)
+        real_b = wire_to_f01(batch["B"], self.znorm)
         logs: Dict[str, jnp.ndarray] = {}
 
         def forward_g(params):

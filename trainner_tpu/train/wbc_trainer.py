@@ -35,6 +35,7 @@ from jax.sharding import Mesh
 from ..losses.gan import build_adversarial
 from ..losses.generator_loss import GeneratorLoss
 from ..models.networks import define_D, define_G
+from ..ops.blocks import wire_to_f01
 from ..ops.colors import color_shift
 from ..ops.filters import guided_filter
 from ..ops.superpixel import superpixel_structure
@@ -72,6 +73,8 @@ class WBCTrainer:
     def __init__(self, opt: dict, mesh: Optional[Mesh] = None,
                  dtype=jnp.float32):
         self.opt = opt
+        self.znorm = bool((((opt.get("datasets") or {}).get("train")
+                            or {}).get("znorm", True)))
         self.mesh = mesh
         self.dtype = dtype
         train_opt = opt.get("train") or {}
@@ -228,8 +231,8 @@ class WBCTrainer:
     # ------------------------------------------------------------------
     def _g_step(self, state: WBCState, batch, lr_g):
         rng, r_rep, r_next = jax.random.split(state.rng, 3)
-        real_a = batch["A"].astype(jnp.float32)
-        real_b = batch["B"].astype(jnp.float32)
+        real_a = wire_to_f01(batch["A"], self.znorm)
+        real_b = wire_to_f01(batch["B"], self.znorm)
 
         def forward(params):
             raw, g_extra = self._apply_g(params, state.g.extra, real_a,
