@@ -144,12 +144,14 @@ def bench_train_e2e(n_warmup: int = 3, n_iters: int = 20) -> dict:
     rng = jr.PRNGKey(7)
     logs = None
     for i in range(n_warmup):
+        _log(f"e2e warmup step {i}")
         batch = next(it)
         if degrade is not None:
             rng, r = jr.split(rng)
             batch = degrade(r, batch)
         state, logs = trainer.train_step(state, batch)
     float(logs["l_g_total"])
+    _log("e2e timed loop")
     t0 = time.perf_counter()
     for i in range(n_iters):
         batch = next(it)
@@ -203,17 +205,30 @@ def bench_infer(n_warmup: int = 2, n_iters: int = 10) -> dict:
     return {"infer_mpx_per_sec": out_mpx * n_iters / dt}
 
 
+def _log(msg: str) -> None:
+    import sys
+
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main() -> None:
     from trainner_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
     n_dev = len(jax.devices())
+    _log("train (compute-only) ...")
     train = bench_train()
+    _log(f"train done: {train['train_iters_per_sec']:.2f} it/s; e2e ...")
     try:
         e2e = bench_train_e2e()
+        _log(f"e2e done: {e2e['train_e2e_iters_per_sec']:.2f} it/s")
     except Exception as exc:  # keep the headline metric robust
         e2e = {"train_e2e_iters_per_sec": None, "e2e_error": str(exc)[:200]}
+        _log(f"e2e FAILED: {exc}")
+    _log("infer ...")
     infer = bench_infer()
+    _log("infer done")
     per_chip_baseline = 5.0  # 20 it/s on v5p-8 (4 chips)
     it_s = train["train_iters_per_sec"]
     result = {
