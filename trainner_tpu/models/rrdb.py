@@ -77,6 +77,135 @@ def _conv3(x, kernel, dtype):
         preferred_element_type=dtype)
 
 
+# ---------------------------------------------------------------------------
+# packed 5C chain with a hand-packed VJP
+#
+# XLA's autodiff of the packed forward fragments the backward into narrow
+# slice/pad chains (measured 47 ms bwd vs 21 ms fwd at b=32/nb=23 on v5e,
+# erasing the packing win). The custom VJP below drives the SAME five
+# packed convs through their conv-vjps in reverse, so the backward's
+# dx transposed-convs contract over the packed-wide axis and the dW
+# contractions emit packed-wide outputs — the backward inherits the
+# forward's MXU utilization instead of XLA's sliced transpose.
+# ---------------------------------------------------------------------------
+
+
+def _rdb_pack_kernels(w1, w2, w3, w4, w5, nf, gc):
+    """The five packed kernels of the scatter-to-future rewrite: per
+    stage, every downstream conv's input-channel slice for that stage's
+    features, concatenated along the output axis."""
+    def sl(w, a, b):
+        return w[:, :, a:b]
+
+    wx = _cat([w1, sl(w2, 0, nf), sl(w3, 0, nf), sl(w4, 0, nf),
+               sl(w5, 0, nf)])
+    a1 = nf
+    w1p = _cat([sl(w2, a1, a1 + gc), sl(w3, a1, a1 + gc),
+                sl(w4, a1, a1 + gc), sl(w5, a1, a1 + gc)])
+    a2 = nf + gc
+    w2p = _cat([sl(w3, a2, a2 + gc), sl(w4, a2, a2 + gc),
+                sl(w5, a2, a2 + gc)])
+    a3 = nf + 2 * gc
+    w3p = _cat([sl(w4, a3, a3 + gc), sl(w5, a3, a3 + gc)])
+    a4 = nf + 3 * gc
+    w4p = sl(w5, a4, a4 + gc)
+    return wx, w1p, w2p, w3p, w4p
+
+
+def _rdb5c_fwd_impl(dt, nf, gc, x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5):
+    lrelu = lambda v: nn.leaky_relu(v, 0.2)
+    x = x.astype(dt)
+    wx, w1p, w2p, w3p, w4p = _rdb_pack_kernels(w1, w2, w3, w4, w5, nf, gc)
+    p = _conv3(x, wx, dt)
+    p1, p2, p3, p4, p5 = jnp.split(p, [gc, 2 * gc, 3 * gc, 4 * gc], -1)
+    c1 = lrelu(p1 + b1.astype(dt))
+    q = _conv3(c1, w1p, dt)
+    q12, q13, q14, q15 = jnp.split(q, [gc, 2 * gc, 3 * gc], -1)
+    c2 = lrelu(p2 + q12 + b2.astype(dt))
+    q = _conv3(c2, w2p, dt)
+    q23, q24, q25 = jnp.split(q, [gc, 2 * gc], -1)
+    c3 = lrelu(p3 + q13 + q23 + b3.astype(dt))
+    q = _conv3(c3, w3p, dt)
+    q34, q35 = jnp.split(q, [gc], -1)
+    c4 = lrelu(p4 + q14 + q24 + q34 + b4.astype(dt))
+    q45 = _conv3(c4, w4p, dt)
+    c5 = p5 + q15 + q25 + q35 + q45 + b5.astype(dt)
+    out = c5 * 0.2 + x
+    return out, (x, c1, c2, c3, c4)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def rdb5c_fused(dt, nf, gc, x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5):
+    return _rdb5c_fwd_impl(dt, nf, gc, x, w1, b1, w2, b2, w3, b3,
+                           w4, b4, w5, b5)[0]
+
+
+def _rdb5c_fused_fwd(dt, nf, gc, x, w1, b1, w2, b2, w3, b3, w4, b4,
+                     w5, b5):
+    out, res = _rdb5c_fwd_impl(dt, nf, gc, x, w1, b1, w2, b2, w3, b3,
+                               w4, b4, w5, b5)
+    # zero-size dtype token: residuals must be JAX types (nn.scan
+    # threads them through lax.scan)
+    return out, (jnp.zeros((0,), x.dtype), *res, w1, w2, w3, w4, w5)
+
+
+def _rdb5c_fused_bwd(dt, nf, gc, res, g):
+    x_tok, x, c1, c2, c3, c4, w1, w2, w3, w4, w5 = res
+    x_dtype = x_tok.dtype
+    wx, w1p, w2p, w3p, w4p = _rdb_pack_kernels(w1, w2, w3, w4, w5, nf, gc)
+
+    def conv_vjp(c, w, dy):
+        # vjp of the packed conv; the unused primal conv is DCE'd, only
+        # the wide dx transposed-conv and wide dW contraction remain
+        _, vjp = jax.vjp(lambda cc, ww: _conv3(cc, ww, dt), c, w)
+        return vjp(dy.astype(dt))
+
+    def dmask(c):  # lrelu' from the activation sign (lrelu preserves it)
+        return jnp.where(c >= 0, jnp.asarray(1.0, dt),
+                         jnp.asarray(0.2, dt))
+
+    def dbias(da):
+        return jnp.sum(da.astype(jnp.float32), axis=(0, 1, 2))
+
+    g = g.astype(dt)
+    dc5 = g * 0.2
+    db5 = dbias(dc5)
+    # stage 4: q45 = conv(c4, w4p); preact4 grad needs dq45 = dc5
+    dc4, dw4p = conv_vjp(c4, w4p, dc5)
+    da4 = dc4 * dmask(c4)
+    db4 = dbias(da4)
+    # stage 3: q3 outputs [q34 (->c4 preact) | q35 (->c5)]
+    dc3, dw3p = conv_vjp(c3, w3p, _cat([da4, dc5]))
+    da3 = dc3 * dmask(c3)
+    db3 = dbias(da3)
+    dc2, dw2p = conv_vjp(c2, w2p, _cat([da3, da4, dc5]))
+    da2 = dc2 * dmask(c2)
+    db2 = dbias(da2)
+    dc1, dw1p = conv_vjp(c1, w1p, _cat([da2, da3, da4, dc5]))
+    da1 = dc1 * dmask(c1)
+    db1 = dbias(da1)
+    dxc, dwx = conv_vjp(x, wx, _cat([da1, da2, da3, da4, dc5]))
+    dx = (dxc + g).astype(x_dtype)
+
+    # reassemble per-conv kernel grads from the packed-output slices:
+    # each original W_k's input segments live in successive packs
+    def seg(dwp, i):  # output-axis slice i of a gc-wide pack
+        return dwp[..., i * gc:(i + 1) * gc]
+
+    dw1 = dwx[..., 0:gc]
+    dw2 = _cat([dwx[..., gc:2 * gc], seg(dw1p, 0)], axis=2)
+    dw3 = _cat([dwx[..., 2 * gc:3 * gc], seg(dw1p, 1), seg(dw2p, 0)],
+               axis=2)
+    dw4 = _cat([dwx[..., 3 * gc:4 * gc], seg(dw1p, 2), seg(dw2p, 1),
+                seg(dw3p, 0)], axis=2)
+    dw5 = _cat([dwx[..., 4 * gc:], dw1p[..., 3 * gc:], dw2p[..., 2 * gc:],
+                dw3p[..., gc:], dw4p], axis=2)
+    return (dx, dw1, db1, dw2, db2, dw3, db3, dw4, db4, dw5, db5)
+
+
+rdb5c_fused.defvjp(_rdb5c_fused_fwd, _rdb5c_fused_bwd)
+
+
 class ResidualDenseBlock5C(nn.Module):
     """5-conv residual dense block (ref RRDBNet_arch.py:98)."""
 
@@ -114,52 +243,13 @@ class ResidualDenseBlock5C(nn.Module):
         32/32/32/32/64 — measured ~1.8x faster G forward on v5e.
         """
         nf, gc = self.nf, self.gc
-        dt = self.dtype
         w1, b1 = _NamedConvP(gc, nf, name="conv1")()
         w2, b2 = _NamedConvP(gc, nf + gc, name="conv2")()
         w3, b3 = _NamedConvP(gc, nf + 2 * gc, name="conv3")()
         w4, b4 = _NamedConvP(gc, nf + 3 * gc, name="conv4")()
         w5, b5 = _NamedConvP(nf, nf + 4 * gc, name="conv5")()
-
-        def sl(w, a, b):  # input-channel slice
-            return w[:, :, a:b]
-
-        lrelu = lambda v: nn.leaky_relu(v, 0.2)
-        b1 = b1.astype(dt)
-        b2 = b2.astype(dt)
-        b3 = b3.astype(dt)
-        b4 = b4.astype(dt)
-        b5 = b5.astype(dt)
-
-        # stage 0: x's contributions to every conv
-        wx = _cat([w1, sl(w2, 0, nf), sl(w3, 0, nf), sl(w4, 0, nf),
-                   sl(w5, 0, nf)])
-        p = _conv3(x, wx, dt)
-        p1, p2, p3, p4, p5 = jnp.split(p, [gc, 2 * gc, 3 * gc, 4 * gc],
-                                       axis=-1)
-        # stage 1
-        c1 = lrelu(p1 + b1)
-        q = _conv3(c1, _cat([sl(w2, nf, nf + gc), sl(w3, nf, nf + gc),
-                             sl(w4, nf, nf + gc), sl(w5, nf, nf + gc)]), dt)
-        q12, q13, q14, q15 = jnp.split(q, [gc, 2 * gc, 3 * gc], axis=-1)
-        # stage 2
-        c2 = lrelu(p2 + q12 + b2)
-        a = nf + gc
-        q = _conv3(c2, _cat([sl(w3, a, a + gc), sl(w4, a, a + gc),
-                             sl(w5, a, a + gc)]), dt)
-        q23, q24, q25 = jnp.split(q, [gc, 2 * gc], axis=-1)
-        # stage 3
-        c3 = lrelu(p3 + q13 + q23 + b3)
-        a = nf + 2 * gc
-        q = _conv3(c3, _cat([sl(w4, a, a + gc), sl(w5, a, a + gc)]), dt)
-        q34, q35 = jnp.split(q, [gc], axis=-1)
-        # stage 4
-        c4 = lrelu(p4 + q14 + q24 + q34 + b4)
-        a = nf + 3 * gc
-        q45 = _conv3(c4, sl(w5, a, a + gc), dt)
-        # stage 5 (conv5 has no activation in CNA mode)
-        c5 = p5 + q15 + q25 + q35 + q45 + b5
-        return c5 * 0.2 + x
+        return rdb5c_fused(self.dtype, nf, gc, x, w1, b1, w2, b2,
+                           w3, b3, w4, b4, w5, b5)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
