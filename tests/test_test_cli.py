@@ -83,3 +83,28 @@ def test_test_cli_cem_postprocessing():
           "network_G": {"type": "sr_resnet", "nf": 8, "nb": 2,
                         "upscale": 2},
           "metrics": "psnr"}, "sr_cem")
+
+
+def test_test_cli_srflow_heats_nsample():
+    """SRFlow inference: heats x n_sample PNG draws per image
+    (ref test_srflow.py), through the interop net (flow.interop)."""
+    res = _run({"model": "srflow", "scale": 4,
+                "datasets": {"test_1": {"name": "synth",
+                                        "mode": "synthetic", "scale": 4,
+                                        "crop_size": 32, "n_samples": 1,
+                                        "batch_size": 1, "n_workers": 0}},
+                "network_G": {"type": "srflow_net", "nf": 8, "nb": 2,
+                              "gc": 4, "K": 1,
+                              "flow": {"interop": True, "L": 2,
+                                       "additionalFlowNoAffine": 1,
+                                       "hidden_channels": 8,
+                                       "stackRRDB": {"blocks": [0],
+                                                     "concat": True}}},
+                "val": {"heats": [0.0, 0.8], "n_sample": 2},
+                "metrics": "psnr"}, "srflow_infer")
+    import os as _os
+
+    pngs = [f for d, _, fs in _os.walk(res) for f in fs
+            if f.endswith(".png")]
+    # 2 heats x 2 samples (+ the metric SR image saved by the main loop)
+    assert sum("_h0.00_" in p or "_h0.80_" in p for p in pngs) == 4, pngs
