@@ -6,7 +6,7 @@ custom weights) — specialized to the VGG family the reference actually uses
 (vgg11/13/16/19 feature stacks, ref networks.py define_F:316).
 
 Pretrained weights: torchvision is not bundled; weights load from an .npz
-produced by scripts/convert_torchvision_vgg.py (torch .pth state_dict ->
+produced by scripts/convert_torch_model.py vgg (torch .pth state_dict ->
 npz of HWIO conv kernels). Without weights the extractor runs random-init
 (functional but not parity — callers warn).
 """
@@ -105,7 +105,7 @@ def load_vgg_npz(path: str) -> dict:
     """Load converted torchvision VGG weights into a flax params dict.
 
     The npz maps 'conv{b}_{c}/kernel' (HWIO) and 'conv{b}_{c}/bias'.
-    Produced by scripts/convert_torchvision_vgg.py.
+    Produced by scripts/convert_torch_model.py vgg.
     """
     data = np.load(path)
     params: Dict[str, Dict[str, np.ndarray]] = {}
