@@ -107,7 +107,11 @@ def bench_train_e2e(n_warmup: int = 3, n_iters: int = 20) -> dict:
             "crop_size": 128, "batch_size": batch_size, "use_flip": True,
             "use_rot": True, "augs_strategy": "bsrgan",
             "resize_strat": "in", "n_workers": 4,
-            "wire_dtype": "uint8"}},
+            "wire_dtype": "uint8",
+            # fixed stage order for the bench: per-step compute is
+            # identical, but ONE pipeline program compiles instead of the
+            # shuffle set (crucial on slow remote-compile relays)
+            "shuffle_degradations": False}},
         "network_G": {"type": "rrdb_net", "nf": 64, "nb": 23, "gc": 32,
                       "upscale": 4},
         "network_D": {"type": "discriminator_vgg", "size": 128,
@@ -250,16 +254,15 @@ def main() -> None:
     n_dev = len(jax.devices())
     _log("train (compute-only) ...")
     train = bench_train()
-    _log(f"train done: {train['train_iters_per_sec']:.2f} it/s; e2e ...")
+    _log(f"train done: {train['train_iters_per_sec']:.2f} it/s; infer ...")
+    infer = bench_infer()
+    _log(f"infer done: {infer['infer_mpx_per_sec']:.1f} Mpx/s; e2e ...")
     timeout_s = int(os.environ.get("TRAINNER_BENCH_E2E_TIMEOUT", 5400))
     e2e = _run_e2e_subprocess(timeout_s)
     if e2e.get("train_e2e_iters_per_sec"):
         _log(f"e2e done: {e2e['train_e2e_iters_per_sec']:.2f} it/s")
     else:
         _log(f"e2e unavailable: {e2e.get('e2e_error')}")
-    _log("infer ...")
-    infer = bench_infer()
-    _log("infer done")
     per_chip_baseline = 5.0  # 20 it/s on v5p-8 (4 chips)
     it_s = train["train_iters_per_sec"]
     result = {
