@@ -257,7 +257,9 @@ def main() -> None:
     _log(f"train done: {train['train_iters_per_sec']:.2f} it/s; infer ...")
     infer = bench_infer()
     _log(f"infer done: {infer['infer_mpx_per_sec']:.1f} Mpx/s; e2e ...")
-    timeout_s = int(os.environ.get("TRAINNER_BENCH_E2E_TIMEOUT", 5400))
+    # warm cache: e2e runs in ~3 min; cold remote-compile can take hours
+    # — bound it so the headline JSON always lands promptly
+    timeout_s = int(os.environ.get("TRAINNER_BENCH_E2E_TIMEOUT", 1500))
     e2e = _run_e2e_subprocess(timeout_s)
     if e2e.get("train_e2e_iters_per_sec"):
         _log(f"e2e done: {e2e['train_e2e_iters_per_sec']:.2f} it/s")
