@@ -87,10 +87,16 @@ def _ensure_bench_corpus(root: str = "/tmp/trainner_bench_data",
     return root
 
 
-def bench_train_e2e(n_warmup: int = 3, n_iters: int = 20) -> dict:
+def bench_train_e2e(n_warmup: int = 3, n_iters: int = 20,
+                    shuffle_degradations: bool = False) -> dict:
     """End-to-end training throughput: native loader + host dataset +
     on-device blind-SR (bsrgan) degradations feeding the full GAN step
-    (the reference's hot loop includes the producer, ref train.py:219)."""
+    (the reference's hot loop includes the producer, ref train.py:219).
+
+    shuffle_degradations=False: fixed stage order — per-step compute is
+    identical but ONE pipeline program compiles instead of the shuffle
+    set (a proxy number, cheap to warm on slow remote-compile relays).
+    shuffle_degradations=True: the real blind-SR path training uses."""
     import jax.random as jr
 
     from trainner_tpu.data.datasets import create_dataset
@@ -108,10 +114,7 @@ def bench_train_e2e(n_warmup: int = 3, n_iters: int = 20) -> dict:
             "use_rot": True, "augs_strategy": "bsrgan",
             "resize_strat": "in", "n_workers": 4,
             "wire_dtype": "uint8",
-            # fixed stage order for the bench: per-step compute is
-            # identical, but ONE pipeline program compiles instead of the
-            # shuffle set (crucial on slow remote-compile relays)
-            "shuffle_degradations": False}},
+            "shuffle_degradations": shuffle_degradations}},
         "network_G": {"type": "rrdb_net", "nf": 64, "nb": 23, "gc": 32,
                       "upscale": 4},
         "network_D": {"type": "discriminator_vgg", "size": 128,
@@ -217,16 +220,19 @@ def _log(msg: str) -> None:
           flush=True)
 
 
-def _run_e2e_subprocess(timeout_s: int) -> dict:
+def _run_e2e_subprocess(timeout_s: int, shuffle: bool = False) -> dict:
     """e2e in a subprocess with a hard timeout: a cold compilation cache
     on remote-compile backends can take very long; the headline metrics
     must never hang on it."""
     import subprocess
     import sys
 
+    cmd = [sys.executable, os.path.abspath(__file__), "--e2e-only"]
+    if shuffle:
+        cmd.append("--shuffle")
     try:
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--e2e-only"],
+            cmd,
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         for ln in reversed((r.stdout or "").strip().splitlines()):
@@ -249,22 +255,15 @@ def main() -> None:
 
     enable_compilation_cache()
     if "--e2e-only" in sys.argv:
-        print(json.dumps(bench_train_e2e()))
+        shuffle = "--shuffle" in sys.argv
+        print(json.dumps(bench_train_e2e(shuffle_degradations=shuffle)))
         return
     n_dev = len(jax.devices())
     _log("train (compute-only) ...")
     train = bench_train()
     _log(f"train done: {train['train_iters_per_sec']:.2f} it/s; infer ...")
     infer = bench_infer()
-    _log(f"infer done: {infer['infer_mpx_per_sec']:.1f} Mpx/s; e2e ...")
-    # warm cache: e2e runs in ~3 min; cold remote-compile can take hours
-    # — bound it so the headline JSON always lands promptly
-    timeout_s = int(os.environ.get("TRAINNER_BENCH_E2E_TIMEOUT", 1500))
-    e2e = _run_e2e_subprocess(timeout_s)
-    if e2e.get("train_e2e_iters_per_sec"):
-        _log(f"e2e done: {e2e['train_e2e_iters_per_sec']:.2f} it/s")
-    else:
-        _log(f"e2e unavailable: {e2e.get('e2e_error')}")
+    _log(f"infer done: {infer['infer_mpx_per_sec']:.1f} Mpx/s")
     per_chip_baseline = 5.0  # 20 it/s on v5p-8 (4 chips)
     it_s = train["train_iters_per_sec"]
     result = {
@@ -272,17 +271,38 @@ def main() -> None:
         "value": round(it_s, 3),
         "unit": "iters/sec (batch 32, 128px HR, 1 chip)",
         "vs_baseline": round(it_s / (per_chip_baseline * max(n_dev, 1)), 3),
-        "e2e_iters_per_sec": (
-            round(e2e["train_e2e_iters_per_sec"], 3)
-            if e2e.get("train_e2e_iters_per_sec") else None),
+        "e2e_iters_per_sec": None,
         "infer_mpx_per_sec_chip": round(infer["infer_mpx_per_sec"], 2),
         "infer_batch": 16,
         "n_devices": n_dev,
         "platform": jax.devices()[0].platform,
     }
-    if "e2e_error" in e2e:
-        result["e2e_error"] = e2e["e2e_error"]
-    print(json.dumps(result))
+    # Headline line FIRST: one timeout anywhere below must never cost the
+    # train/infer numbers (round-2 failure mode: rc=124, parsed=null).
+    print(json.dumps(result), flush=True)
+    _log("e2e (fixed-order) ...")
+    # bound e2e: cold remote-compile can take hours; the final combined
+    # line must still land while the driver is listening
+    timeout_s = int(os.environ.get("TRAINNER_BENCH_E2E_TIMEOUT", 1500))
+    e2e = _run_e2e_subprocess(timeout_s)
+    if e2e.get("train_e2e_iters_per_sec"):
+        result["e2e_iters_per_sec"] = round(e2e["train_e2e_iters_per_sec"], 3)
+        _log(f"e2e done: {result['e2e_iters_per_sec']:.2f} it/s")
+    else:
+        result["e2e_error"] = e2e.get("e2e_error")
+        _log(f"e2e unavailable: {e2e.get('e2e_error')}")
+    print(json.dumps(result), flush=True)
+    _log("e2e (shuffled blind-SR) ...")
+    e2s = _run_e2e_subprocess(timeout_s, shuffle=True)
+    if e2s.get("train_e2e_iters_per_sec"):
+        result["e2e_shuffled_iters_per_sec"] = round(
+            e2s["train_e2e_iters_per_sec"], 3)
+        _log(f"e2e shuffled done: "
+             f"{result['e2e_shuffled_iters_per_sec']:.2f} it/s")
+    else:
+        result["e2e_shuffled_error"] = e2s.get("e2e_error")
+        _log(f"e2e shuffled unavailable: {e2s.get('e2e_error')}")
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -75,16 +75,31 @@ def test_data_parallel_matches_single_device():
 
 
 def test_fsdp_sharding_specs():
+    """Flagship-size conv kernels MUST carry an fsdp axis; small leaves
+    (biases) must stay replicated (parallel/mesh._fsdp_spec)."""
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    params = {
+        # ESRGAN-scale 3x3 conv: 3*3*64*192 = 110,592 elems > 2**16
+        "conv_big": jnp.zeros((3, 3, 64, 192), jnp.float32),
+        # trunk conv at nf=64/gc=32 boundary: 3*3*96*32 = 27,648 < 2**16
+        "conv_small": jnp.zeros((3, 3, 96, 32), jnp.float32),
+        "bias": jnp.zeros((192,), jnp.float32),
+    }
+    sh = param_sharding(params, mesh)
+    big = sh["conv_big"].spec
+    assert any(ax == "fsdp" for ax in big if ax), (
+        f"large kernel not fsdp-sharded: {big}")
+    # the fsdp dim actually divides: 192 % 2 == 0 on the largest dim
+    assert big[3] == "fsdp"
+    assert sh["conv_small"].spec == jax.sharding.PartitionSpec()
+    assert sh["bias"].spec == jax.sharding.PartitionSpec()
+
+
+def test_fsdp_sharded_step_runs():
     mesh = make_mesh(MeshConfig(data=4, fsdp=2))
     tr = _trainer(mesh=mesh)
     state = tr.init_state(jax.random.PRNGKey(0), (8, 8, 8, 3))
     shardings = param_sharding(state, mesh)
-    # large kernels get an fsdp-sharded dim; tiny leaves stay replicated
-    specs = [s.spec for s in jax.tree.leaves(shardings)]
-    assert any(any(ax == "fsdp" for ax in sp if ax) for sp in specs
-               if sp) or all(not sp for sp in specs)
-
-    # and the sharded step still runs
     state = jax.tree.map(jax.device_put, state, shardings)
     batch = shard_batch(_batch(8), mesh)
     state, logs = tr.train_step(state, batch)

@@ -43,8 +43,15 @@ class LmdbReader:
         if os.path.isdir(path):
             path = os.path.join(path, "data.mdb")
         self.path = path
-        with open(path, "rb") as f:
-            self._buf = f.read()
+        # mmap, not read(): reference-scale LMDBs are multi-GB and one
+        # reader is cached per root per loader worker — a full read()
+        # would multiply that across n_workers and OOM the host.
+        # struct.unpack_from / slicing work unchanged on the mmap buffer.
+        import mmap
+
+        self._file = open(path, "rb")
+        self._buf = mmap.mmap(self._file.fileno(), 0,
+                              access=mmap.ACCESS_READ)
         m0 = self._parse_meta(0)
         psize = m0["psize"]
         m1 = self._parse_meta(psize)
@@ -52,6 +59,16 @@ class LmdbReader:
         self.psize = meta["psize"]
         self.root = meta["root"]
         self.entries = meta["entries"]
+
+    def close(self) -> None:
+        try:
+            self._buf.close()
+            self._file.close()
+        except Exception:
+            pass
+
+    def __del__(self):  # best-effort; mmap also closes on GC
+        self.close()
 
     def _parse_meta(self, off: int) -> dict:
         b = self._buf

@@ -449,11 +449,14 @@ class SRFlowNetI(nn.Module):
         logdet = jnp.zeros((b,), jnp.float32)
         x = gt.astype(jnp.float32)
         if train:
+            # quant noise AND its logdet term are tied to add_gt_noise in
+            # the reference (SRFlowNet_arch.py:86-91); keeping them
+            # together makes eval-mode NLL offset-free vs torch
             if rng is None:
                 rng = self.make_rng("noise")
             noise = (jax.random.uniform(rng, x.shape) - 0.5) / self.quant
             x = x + noise
-        logdet = logdet + float(-math.log(self.quant) * pixels)
+            logdet = logdet + float(-math.log(self.quant) * pixels)
         z, logdet, eps_list = self._run(x, rrdb_results, logdet,
                                         reverse=False)
         objective = logdet + gaussian_logp(z)

@@ -105,11 +105,6 @@ def load_file(path: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# resize algorithm name -> code mapping (ref: options/options.py:17-36)
-# Codes mirror cv2 interpolation enums, plus:
-#   997 = realistic kernel pool (KernelGAN kernels), 998 = matlab bicubic,
-#   999 = random/realistic per-sample choice
-# ---------------------------------------------------------------------------
 # Same integer codes as the reference (ref options/options.py:17-36
 # _cv2_str2interpolation): 0-6 = cv2 methods, 77x = MATLAB-style
 # antialiased kernels (our ops/imresize), 997/998/999 = special dispatch.

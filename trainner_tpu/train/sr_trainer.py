@@ -658,6 +658,10 @@ class SRTrainer:
             return state.g.extra
 
         def apply_fn(variables, x, train, mutable):
+            # match _train_step's input normalization: uint8/znorm wire
+            # batches must hit BN in the same range training used, or
+            # the refreshed stats poison the SWA checkpoint
+            x = wire_to_f01(x, self.znorm)
             return self.netG.apply(
                 variables, x, train=train,
                 rngs={"noise": jax.random.PRNGKey(0),
