@@ -1,0 +1,88 @@
+"""JAX half of the from-scratch quality A/B: trains THIS framework's
+SRResNet x4 through the production SRTrainer path (trainner_tpu/train/
+sr_trainer.py) under the shared protocol in quality_ab_common.py —
+identical crop sequence, L1 + Adam(2e-4) + MultiStep[2000,2750], LR
+generated with our MATLAB-parity imresize (proved <1e-5 against the
+reference resizer in tests/test_reference_parity.py).
+
+Runs in production bf16 by default (--f32 for the float control run).
+
+Usage: python scripts/quality_ab_jax.py [out.jsonl] [--f32]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import quality_ab_common as C  # noqa: E402
+
+
+def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from trainner_tpu.ops.imresize import imresize_np
+    from trainner_tpu.train.sr_trainer import SRTrainer
+    from trainner_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    dtype = jnp.float32 if f32 else jnp.bfloat16
+    opt = {
+        "is_train": True, "scale": C.SCALE,
+        "network_G": {"type": "sr_resnet", "nf": 64, "nb": 16,
+                      "upscale": C.SCALE, "norm_type": None,
+                      "act_type": "relu", "mode": "CNA",
+                      "upsample_mode": "pixelshuffle"},
+        "train": {
+            "lr_G": C.BASE_LR,
+            "pixel_criterion": "l1", "pixel_weight": 1.0,
+            "lr_scheme": "MultiStepLR",
+            "lr_steps": sorted(C.LR_SCHED), "lr_gamma": 0.5,
+            "niter": C.NITER,
+        },
+    }
+    trainer = SRTrainer(opt, dtype=dtype)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               (C.BATCH, C.CROP // C.SCALE,
+                                C.CROP // C.SCALE, 3))
+
+    imgs = C.load_train_images()
+    val = C.load_val_pairs()
+    stream = C.crop_stream(imgs, seed=0)
+    log = C.CurveLog(out_path, {
+        "side": f"trainner-tpu-{'f32' if f32 else 'bf16'}",
+        "batch": C.BATCH, "crop": C.CROP, "niter": C.NITER,
+        "base_lr": C.BASE_LR, "sched": C.LR_SCHED,
+        "platform": jax.devices()[0].platform})
+
+    val_lr = jnp.asarray(np.stack(
+        [p[0].astype(np.float32) / 255.0 for p in val]))
+
+    def validate(st) -> float:
+        sr = np.asarray(trainer.eval_step(st, val_lr), np.float32)
+        return float(np.mean([
+            C.psnr_rgb(C.to_uint8(sr[i]), val[i][1])
+            for i in range(len(val))]))
+
+    for step in range(1, C.NITER + 1):
+        hr_u8 = next(stream)
+        hr = hr_u8.astype(np.float32) / 255.0
+        lr = np.stack([imresize_np(h, 1.0 / C.SCALE, kernel="cubic")
+                       for h in hr]).astype(np.float32)
+        state, logs = trainer.train_step(
+            state, {"LR": jnp.asarray(lr), "HR": jnp.asarray(hr)})
+        if step % 50 == 0:
+            log.log(step, loss=round(float(logs["l_g_total"]), 5))
+        if step % C.VAL_FREQ == 0 or step == C.NITER:
+            log.log(step, val_psnr=round(validate(state), 4))
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(args[0] if args else "/tmp/qa_jax.jsonl",
+         f32="--f32" in sys.argv)
