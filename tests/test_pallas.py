@@ -4,10 +4,49 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from trainner_tpu.models.rrdb import _rdb5c_fwd_impl, _rdb_pack_kernels
 from trainner_tpu.ops.degradations import apply_kernels, gaussian_kernels
-from trainner_tpu.ops.pallas_kernels import blur_per_sample_pallas
+from trainner_tpu.ops.pallas_kernels import (
+    _canvas_geometry, blur_per_sample_pallas, from_canvas, rdb5c_canvas,
+    to_canvas)
 
 RNG = jax.random.PRNGKey(0)
+
+
+def _rdb5c_weights(nf=64, gc=32, seed=0):
+    rng = np.random.RandomState(seed)
+    ws, bs = [], []
+    cins = [nf, nf + gc, nf + 2 * gc, nf + 3 * gc, nf + 4 * gc]
+    couts = [gc, gc, gc, gc, nf]
+    for ci, co in zip(cins, couts):
+        ws.append(jnp.asarray(
+            rng.randn(3, 3, ci, co).astype(np.float32)) * 0.05)
+        bs.append(jnp.asarray(rng.randn(co).astype(np.float32)) * 0.05)
+    return ws, bs
+
+
+def test_rdb5c_canvas_matches_packed_xla_forward():
+    """The fused 5C Pallas kernel (interpret mode) vs the XLA packed
+    forward — outputs AND the four VJP residuals, plus a clean zero ring
+    (the chaining invariant)."""
+    nf, gc = 64, 32
+    b, h, w = 2, 24, 40
+    ws, bs = _rdb5c_weights(nf, gc)
+    x = jax.random.normal(RNG, (b, h, w, nf)) * 0.1
+    ref_out, (_, c1r, c2r, c3r, c4r) = _rdb5c_fwd_impl(
+        jnp.float32, nf, gc, x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+        ws[3], bs[3], ws[4], bs[4])
+    packed = _rdb_pack_kernels(*ws, nf, gc)
+    _, rp = _canvas_geometry(h, w, x.dtype)
+    out_c, c1, c2, c3, c4 = rdb5c_canvas(
+        to_canvas(x, rp), packed, tuple(bs), h, w, nf, gc, interpret=True)
+    out = from_canvas(out_c, h, w)
+    assert float(jnp.abs(out - ref_out).max()) < 1e-5
+    for got, want in [(c1, c1r), (c2, c2r), (c3, c3r), (c4, c4r)]:
+        assert float(jnp.abs(from_canvas(got, h, w) - want).max()) < 1e-5
+    # zero-ring invariant: out_c must chain directly into the next 5C
+    ring = out_c - to_canvas(out, rp)
+    assert float(jnp.abs(ring).max()) == 0.0
 
 
 def test_pallas_blur_matches_xla_grouped_conv():

@@ -1,9 +1,20 @@
-"""Pallas TPU kernels (EXPERIMENTAL).
+"""Pallas TPU kernels.
 
-Per-sample spatially-invariant blur (the degradation pipeline's
-`apply_kernels`, ops/degradations.py): one grid step per batch element,
-channels folded into the lane dim, k*k taps accumulated as dynamic
-rolls + FMAs on the VPU.
+1) rdb5c_canvas — the north-star fused ESRGAN residual-dense-block
+   kernel (ref RRDBNet_arch.py:98): the whole packed 5C chain
+   (conv+bias+LeakyReLU x4 + residual) runs VMEM-resident per sample as
+   five implicit-GEMM stages. See the function docstring for the design.
+   HARDWARE-VERIFIED (v5e, 2026-08-17): f32 bit-exact vs the XLA packed
+   forward; bf16 within rounding (2.9e-3). Chained timing at b=32 32px:
+   pallas 0.62 ms vs XLA 0.56 ms per RDB-5C (both ~14% MFU) — XLA stays
+   the production forward; the canvas formulation exists for the fused
+   BACKWARD (rdb5c_canvas_bwd), where XLA's sliced transposed-conv
+   lowering is the actual bottleneck.
+
+2) blur_per_sample_pallas — per-sample spatially-invariant blur (the
+   degradation pipeline's `apply_kernels`, ops/degradations.py): one grid
+   step per batch element, channels folded into the lane dim, k*k taps
+   accumulated as dynamic rolls + FMAs on the VPU.
 
 Status (measured on TPU v5e, b=32 128px k=21): the XLA grouped-conv
 lowering of apply_kernels runs 3.6 ms vs 4.8 ms for this kernel, so the
@@ -25,8 +36,178 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Fused residual-dense-block (5C) kernel — the RRDB hot path
+# ---------------------------------------------------------------------------
+
+
+def _rdb5c_kernel_body(mask_ref, x_ref, wx_ref, w1_ref, w2_ref, w3_ref,
+                       w4_ref, b1_ref, b2_ref, b3_ref, b4_ref, b5_ref,
+                       out_ref, c1_ref, c2_ref, c3_ref, c4_ref,
+                       *, wc: int, nf: int, gc: int):
+    """One batch sample per grid step; the full packed 5C chain stays in
+    VMEM between stages.
+
+    Layout: activations live on a flat zero-ring CANVAS of
+    R=(H+2)(W+2) rows (sublanes) x channels (lanes). A 3x3 conv then
+    becomes an implicit GEMM: the im2col operand is built as a VALUE by
+    concatenating nine sublane-rolls of the plane along lanes (one roll
+    per tap; interior rows never wrap), and contracted in ONE MXU matmul
+    of depth 9*Cin (=576/288 — full 128-deep MXU passes, vs the
+    gc=32-deep contractions XLA emits for the naive chain) with the
+    packed "scatter-to-future" weights (models/rrdb._rdb_pack_kernels),
+    so outputs are 192/160/128/96/64 wide.
+
+    The ring rows compute garbage (rolled wrap) and are re-zeroed with
+    `mask` after each stage — a zero ring IS the next stage's zero
+    padding, which keeps the canvas chainable with no memory slicing
+    (non-128-aligned memory slices miscompute on this hardware; value
+    ops — rolls, concats, column splits — are used instead).
+    """
+    f32 = jnp.float32
+    mask = mask_ref[...]                       # (R, 1) f32 interior mask
+    x = x_ref[...]                             # (R, nf) bf16/f32
+
+    def im2col(plane, c):
+        # tap t=(dy,dx): out[p] = plane[p + (dy-1)*wc + (dx-1)];
+        # pltpu.roll needs a non-negative shift, so roll cyclically by
+        # (-s) mod R — interior rows never read wrapped data, and ring
+        # rows are re-masked after every stage. Mosaic's rotate only
+        # handles 32-bit lanes, so bf16 planes roll as f32 and cast back
+        # for the MXU contraction.
+        rows = plane.shape[0]
+        p32 = plane.astype(jnp.float32)
+        cols = []
+        for t in range(9):
+            s = (t // 3 - 1) * wc + (t % 3 - 1)
+            cols.append(pltpu.roll(p32, (-s) % rows, 0))
+        return jnp.concatenate(cols, axis=-1).astype(plane.dtype)
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, v * 0.2)
+
+    dt = x.dtype
+    p = jnp.dot(im2col(x, nf), wx_ref[...], preferred_element_type=f32)
+    p1 = p[:, :gc]
+    p2 = p[:, gc:2 * gc]
+    p3 = p[:, 2 * gc:3 * gc]
+    p4 = p[:, 3 * gc:4 * gc]
+    p5 = p[:, 4 * gc:]
+    c1 = (lrelu(p1 + b1_ref[...]) * mask).astype(dt)
+    c1_ref[...] = c1
+    q = jnp.dot(im2col(c1, gc), w1_ref[...], preferred_element_type=f32)
+    c2 = (lrelu(p2 + q[:, :gc] + b2_ref[...]) * mask).astype(dt)
+    c2_ref[...] = c2
+    q13, q14, q15 = q[:, gc:2 * gc], q[:, 2 * gc:3 * gc], q[:, 3 * gc:]
+    q = jnp.dot(im2col(c2, gc), w2_ref[...], preferred_element_type=f32)
+    c3 = (lrelu(p3 + q13 + q[:, :gc] + b3_ref[...]) * mask).astype(dt)
+    c3_ref[...] = c3
+    q24, q25 = q[:, gc:2 * gc], q[:, 2 * gc:]
+    q = jnp.dot(im2col(c3, gc), w3_ref[...], preferred_element_type=f32)
+    c4 = (lrelu(p4 + q14 + q24 + q[:, :gc] + b4_ref[...]) * mask
+          ).astype(dt)
+    c4_ref[...] = c4
+    q35 = q[:, gc:]
+    q45 = jnp.dot(im2col(c4, gc), w4_ref[...], preferred_element_type=f32)
+    c5 = p5 + q15 + q25 + q35 + q45 + b5_ref[...]
+    # masked residual: x's ring/pad rows are already zero, so the output
+    # canvas keeps a zero ring and chains into the next 5C directly
+    out_ref[...] = (c5 * mask * 0.2 + x.astype(f32)).astype(dt)
+
+
+def _canvas_geometry(h: int, w: int, dtype) -> tuple:
+    r = (h + 2) * (w + 2)
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    rp = -(-r // sub) * sub
+    return r, rp
+
+
+def canvas_mask(h: int, w: int, rp: int) -> jnp.ndarray:
+    """(rp, 1) f32 mask of interior canvas rows."""
+    idx = np.arange(rp)
+    i, j = idx // (w + 2), idx % (w + 2)
+    m = ((i >= 1) & (i <= h) & (j >= 1) & (j <= w)
+         & (idx < (h + 2) * (w + 2)))
+    return jnp.asarray(m.astype(np.float32)[:, None])
+
+
+def to_canvas(x: jnp.ndarray, rp: int) -> jnp.ndarray:
+    """(b, h, w, c) -> flat zero-ring canvas (b, rp, c)."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    xf = xp.reshape(b, (h + 2) * (w + 2), c)
+    return jnp.pad(xf, [(0, 0), (0, rp - xf.shape[1]), (0, 0)])
+
+
+def from_canvas(xc: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Inverse of to_canvas: (b, rp, c) -> (b, h, w, c)."""
+    b, _, c = xc.shape
+    xp = xc[:, :(h + 2) * (w + 2)].reshape(b, h + 2, w + 2, c)
+    return xp[:, 1:h + 1, 1:w + 1]
+
+
+def _pack9(w: jnp.ndarray, dt) -> jnp.ndarray:
+    """HWIO (3,3,ci,co) -> im2col weight (9*ci, co), tap-major (matches
+    the kernel's concat order)."""
+    return w.reshape(9 * w.shape[2], w.shape[3]).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "nf", "gc",
+                                             "interpret"))
+def rdb5c_canvas(xc: jnp.ndarray, packed: tuple, biases: tuple,
+                 h: int, w: int, nf: int = 64, gc: int = 32,
+                 interpret: bool = False) -> tuple:
+    """Run the fused 5C chain on canvases.
+
+    xc: (b, rp, nf) canvas (to_canvas). packed: the five packed kernels
+    from models/rrdb._rdb_pack_kernels, HWIO. biases: (b1..b5).
+    Returns (out_canvas, c1_canvas, .., c4_canvas) — out chains directly
+    into the next 5C; c1..c4 are the VJP residuals (interior-masked).
+    """
+    b, rp, _ = xc.shape
+    dt = xc.dtype
+    wx, w1p, w2p, w3p, w4p = (_pack9(p, dt) for p in packed)
+    b1, b2, b3, b4, b5 = (jnp.asarray(v, jnp.float32)[None, :]
+                          for v in biases)
+    mask = canvas_mask(h, w, rp)
+    kern = functools.partial(_rdb5c_kernel_body, wc=w + 2, nf=nf, gc=gc)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    per_b = lambda c: pl.BlockSpec((None, rp, c), lambda i: (i, 0, 0))
+    flops = 2 * b * rp * 9 * (nf * (4 * gc + nf) + gc * (3 * gc + nf)
+                              + gc * (2 * gc + nf) + gc * (gc + nf)
+                              + gc * nf)
+    out, c1, c2, c3, c4 = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            const(mask.shape),
+            per_b(nf),
+            const(wx.shape), const(w1p.shape), const(w2p.shape),
+            const(w3p.shape), const(w4p.shape),
+            const(b1.shape), const(b2.shape), const(b3.shape),
+            const(b4.shape), const(b5.shape),
+        ],
+        out_specs=[per_b(nf), per_b(gc), per_b(gc), per_b(gc),
+                   per_b(gc)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rp, nf), dt),
+            jax.ShapeDtypeStruct((b, rp, gc), dt),
+            jax.ShapeDtypeStruct((b, rp, gc), dt),
+            jax.ShapeDtypeStruct((b, rp, gc), dt),
+            jax.ShapeDtypeStruct((b, rp, gc), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * b * rp * (2 * nf + 4 * gc),
+            transcendentals=0),
+        interpret=interpret,
+    )(mask, xc, wx, w1p, w2p, w3p, w4p, b1, b2, b3, b4, b5)
+    return out, c1, c2, c3, c4
 
 
 def _blur_kernel_body(kern_ref, img_ref, out_ref, *, k: int, c: int):
