@@ -187,3 +187,56 @@ def test_srflow_interop_nll_trains():
     assert np.isfinite(float(nll.mean()))
     # channels: 3 ->(sq) 12 ->(split) 6 ->(sq) 24 ->(sq) 96
     assert z.shape == (2, 4, 4, 96)
+
+
+def test_srflow_interop_decode_parity():
+    """Decode-side gate (VERDICT r2 weak #5): sampled images from the
+    SAME converted net at MATCHED z and split-eps agree torch-vs-flax at
+    tau in {0, 0.5, 0.9}.
+
+    The torch reverse path (ref SRFlowNet_arch.py:137 reverse_flow ->
+    FlowUpsamplerNet.decode:251) pops z and each split's eps from the
+    `epses` list, so randomness is fully externalized on both sides:
+    torch gets epses=[eps1, .., z] (NCHW), ours gets (z, eps_list)
+    (NHWC), both drawn once per tau from the same numpy stream."""
+    import jax.numpy as jnp
+
+    from trainner_tpu.models.srflow_interop import SRFlowNetI
+    from trainner_tpu.utils.torch_interop import srflow_to_params
+
+    net = _build_ref_net()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    variables = srflow_to_params(sd)
+    model = SRFlowNetI(nf=64, nb=NB, gc=32, scale=4, K=K, L=L,
+                       hidden=HIDDEN, blocks=tuple(BLOCKS),
+                       dtype=jnp.float32)
+
+    rng = np.random.default_rng(21)
+    lr = rng.random((1, 3, 8, 8), np.float32)
+    lr_j = jnp.asarray(lr.transpose(0, 2, 3, 1))
+
+    # shapes of z / eps_list from one encode pass
+    gt = rng.random((1, 3, 32, 32), np.float32)
+    z0, _, eps0 = model.apply(variables, jnp.asarray(
+        gt.transpose(0, 2, 3, 1)), lr_j, method=SRFlowNetI.encode_eps)
+
+    for tau in (0.0, 0.5, 0.9):
+        z_np = (tau * rng.standard_normal(z0.shape)).astype(np.float32)
+        eps_np = [(tau * rng.standard_normal(e.shape)).astype(np.float32)
+                  for e in eps0]
+        sr_j, _ = model.apply(
+            variables, lr_j, z=jnp.asarray(z_np),
+            eps_list=[jnp.asarray(e) for e in eps_np],
+            method=SRFlowNetI.sample,
+            rngs={"sample": __import__("jax").random.PRNGKey(0)})
+        epses_t = [torch.from_numpy(e.transpose(0, 3, 1, 2))
+                   for e in eps_np]
+        epses_t.append(torch.from_numpy(z_np.transpose(0, 3, 1, 2)))
+        with torch.no_grad():
+            sr_t, _ = net(lr=torch.from_numpy(lr), z=None, eps_std=tau,
+                          epses=epses_t, reverse=True)
+        sr_jn = np.asarray(sr_j).transpose(0, 3, 1, 2)
+        assert sr_jn.shape == tuple(sr_t.shape)
+        scale_ref = max(float(np.abs(sr_t.numpy()).max()), 1.0)
+        err = float(np.abs(sr_jn - sr_t.numpy()).max())
+        assert err < 1e-3 * scale_ref, (tau, err, scale_ref)
