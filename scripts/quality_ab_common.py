@@ -22,9 +22,12 @@ import numpy as np
 SCALE = 4
 CROP = 128          # HR crop
 BATCH = 8
-NITER = 3000
-VAL_FREQ = 250
-LR_SCHED = {2000: 0.5, 2750: 0.5}   # multiplicative decays
+NITER = int(os.environ.get("QA_NITER", 3000))
+VAL_FREQ = int(os.environ.get("QA_VAL_FREQ", 250))
+# multiplicative decays; override: QA_SCHED="5000:0.5,7500:0.5"
+LR_SCHED = {int(k): float(v) for k, v in
+            (kv.split(":") for kv in os.environ["QA_SCHED"].split(","))} \
+    if os.environ.get("QA_SCHED") else {2000: 0.5, 2750: 0.5}
 BASE_LR = 2e-4
 
 
@@ -92,10 +95,10 @@ def to_uint8(img01: np.ndarray) -> np.ndarray:
 
 
 class CurveLog:
-    def __init__(self, path: str, meta: dict):
+    def __init__(self, path: str, meta: dict, append: bool = False):
         self.path = path
         self.t0 = time.time()
-        with open(path, "w") as f:
+        with open(path, "a" if append else "w") as f:
             f.write(json.dumps({"meta": meta}) + "\n")
 
     def log(self, step: int, **kv):

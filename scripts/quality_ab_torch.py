@@ -6,6 +6,11 @@ quality_ab_common.py. CPU torch; run in the background (~1-2 s/step on
 one core).
 
 Usage: python scripts/quality_ab_torch.py [out.jsonl]
+
+Checkpoints net+optimizer every VAL_FREQ steps next to the log
+(<out>.ckpt) and resumes from it automatically: the crop stream is
+deterministic, so resume fast-forwards the sampler to the saved step and
+the trajectory is identical to an uninterrupted run.
 """
 
 from __future__ import annotations
@@ -52,17 +57,34 @@ def main(out_path: str = "/tmp/qa_torch.jsonl") -> None:
     net = ref_arch.SRResNet(3, 3, 64, 16, upscale=C.SCALE, norm_type=None,
                             act_type="relu", mode="CNA",
                             upsample_mode="pixelshuffle")
-    ref_networks.init_weights(net, init_type="kaiming", scale=1)
+    # scale=0.1 is the reference's generator default (networks.py:118
+    # init_scale = opt_net_pass.pop('init_scale', 0.1)) and matches the
+    # jax side's kaiming_init(0.1)
+    ref_networks.init_weights(net, init_type="kaiming", scale=0.1)
+    # betas: the reference's Adam defaults (models/optimizers.py:96-98
+    # beta1 0.9, beta2 0.999), matching the jax side's optax.adam defaults
     opt = torch.optim.Adam(net.parameters(), lr=C.BASE_LR,
-                           betas=(0.9, 0.99))
+                           betas=(0.9, 0.999))
     l1 = torch.nn.L1Loss()
 
     imgs = C.load_train_images()
     val = C.load_val_pairs()
     stream = C.crop_stream(imgs, seed=0)
+
+    ckpt_path = out_path + ".ckpt"
+    start_step = 0
+    if os.path.exists(ckpt_path):
+        ck = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        net.load_state_dict(ck["net"])
+        opt.load_state_dict(ck["opt"])
+        start_step = int(ck["step"])
+        for _ in range(start_step):  # deterministic stream fast-forward
+            next(stream)
+
     log = C.CurveLog(out_path, {
         "side": "torch-reference", "batch": C.BATCH, "crop": C.CROP,
-        "niter": C.NITER, "base_lr": C.BASE_LR, "sched": C.LR_SCHED})
+        "niter": C.NITER, "base_lr": C.BASE_LR, "sched": C.LR_SCHED,
+        "resumed_from": start_step}, append=start_step > 0)
 
     def validate() -> float:
         net.eval()
@@ -78,7 +100,7 @@ def main(out_path: str = "/tmp/qa_torch.jsonl") -> None:
         return float(np.mean(ps))
 
     net.train()
-    for step in range(1, C.NITER + 1):
+    for step in range(start_step + 1, C.NITER + 1):
         for g in opt.param_groups:
             g["lr"] = C.lr_at(step)
         hr_u8 = next(stream)
@@ -100,6 +122,10 @@ def main(out_path: str = "/tmp/qa_torch.jsonl") -> None:
                     lr=C.lr_at(step))
         if step % C.VAL_FREQ == 0 or step == C.NITER:
             log.log(step, val_psnr=round(validate(), 4))
+            torch.save({"net": net.state_dict(),
+                        "opt": opt.state_dict(), "step": step},
+                       ckpt_path + ".tmp")
+            os.replace(ckpt_path + ".tmp", ckpt_path)
 
 
 if __name__ == "__main__":
