@@ -79,7 +79,10 @@ def _collect(opt: dict, keys) -> Dict[str, dict]:
         types = opt.get(types_key) if types_key else None
         if types_key and types_key == enable_key:
             types = enabled if isinstance(enabled, (list, tuple)) else types
-        if not enabled and not types:
+        # the enable flag alone gates the stage (ref get_aug_confs:1442 /
+        # get_res_confs:1478 `if opt.get(aug_name)`): an explicit false
+        # disables it even when the preset overlay filled in the types
+        if not enabled:
             continue
         prob = opt.get(prob_key) if prob_key else None
         if prob is None:
@@ -256,58 +259,72 @@ def _blur_stage(types: Sequence[str], cfgs: Dict[str, dict],
 
 
 def _atten_factor(rng, b: int, res_cfg: dict, scale: int,
-                  res_types: Sequence[int] = ()):
-    """Per-sample residual attenuation v = LR_size / X for a noise op
-    injected at the reference's intermediate size X (ref
-    adj_scale_config:58). The distribution of X depends on the resize1
-    algo the reference drew for that sample:
+                  res_types: Sequence[int] = (),
+                  chain_cfg: Optional[dict] = None):
+    """Per-sample residual attenuation v = clip(LR_size / X, 0, 1) for an
+    op injected at the reference's intermediate size X (ref
+    adj_scale_config:58). The canvas-size ratio r = X / LR depends on the
+    resize1 algo the reference drew for that sample:
       plain kernels: branch ~ resize_prob {up, down, keep};
         down: X = H*U(range_down); up: X = H*U(range_up); keep: X = H
       997 nearest_aligned: scale' = choice([ceil(s/2), s]) -> X = H/scale'
       998 down_up: s' ~ U(ceil(s/2), s), a ~ U(du_min, s'), X = H*a/s'
-    The final antialiased downscale to LR attenuates the op's residual
-    by ~min(v, 1)."""
-    r1, r2, r3, r4, r5, r6 = jax.random.split(rng, 6)
-    # plain-kernel branch
-    probs = dict(res_cfg.get("resize_prob") or {"down": 1.0})
-    p_up = float(probs.get("up", 0.0))
-    p_down = float(probs.get("down", 1.0))
-    p_keep = float(probs.get("keep", 0.0))
-    tot = max(p_up + p_down + p_keep, 1e-8)
-    rd = res_cfg.get("resize_range_down") or [1.0 / scale, 2.0 / scale]
-    ru = res_cfg.get("resize_range_up") or [1.0, 1.5]
-    sc_d = jax.random.uniform(r1, (b,), minval=float(rd[0]),
-                              maxval=float(rd[1]))
-    sc_u = jax.random.uniform(r2, (b,), minval=float(ru[0]),
-                              maxval=float(ru[1]))
-    v_down = jnp.clip(1.0 / (scale * sc_d), 0.0, 1.0)
-    v_up = jnp.clip(1.0 / (scale * sc_u), 0.0, 1.0)
-    v_keep = jnp.full((b,), 1.0 / scale)
-    u = jax.random.uniform(r3, (b,)) * tot
-    v_plain = jnp.where(u < p_down, v_down,
-                        jnp.where(u < p_down + p_up, v_up, v_keep))
+      999 realistic kernel: exact LR size (r = 1)
+    chain_cfg: for ops the reference places AFTER resize2 (noise2), the
+    canvas is X2 = X1 * f2 with f2 drawn from resize2's own
+    resize_prob/ranges relative to the current size (Scale_class:1734) —
+    the ratios compose BEFORE the final clip, so a sub-LR X2 correctly
+    yields no attenuation rather than double attenuation."""
+    r1, r4, r5, r6, r7, r8 = jax.random.split(rng, 6)
+    r_plain = _size_ratio(r1, b, res_cfg, float(scale))
     algos = [t for t in res_types if isinstance(t, int)]
-    cands = [v_plain] * max(
+    cands = [r_plain] * max(
         len([t for t in algos if t not in (995, 996, 997, 998, 999)]), 1)
     half = -(-scale // 2)
     if any(t in (995, 997) for t in algos):
         coin = jax.random.uniform(r4, (b,)) < 0.5
-        cands.append(jnp.where(coin, jnp.full((b,), half / scale),
+        cands.append(jnp.where(coin, jnp.full((b,), scale / half),
                                jnp.ones((b,))))
     if any(t == 998 for t in algos):
         sp = jax.random.uniform(r5, (b,), minval=float(half),
                                 maxval=float(scale))
         du_min = float(res_cfg.get("down_up_min", 0.5) or 0.5)
-        a = du_min + jax.random.uniform(r5, (b,)) * (sp - du_min)
-        cands.append(jnp.clip(sp / (scale * a), 0.0, 1.0))
+        a = du_min + jax.random.uniform(r7, (b,)) * (sp - du_min)
+        cands.append(scale * a / sp)
     if any(t == 999 for t in algos):
         cands.append(jnp.ones((b,)))  # realistic kernel: exact LR size
     if len(cands) == 1:
-        return cands[0]
-    choice = jax.random.randint(r6, (b,), 0, len(cands))
-    stack = jnp.stack(cands, axis=1)
-    onehot = jax.nn.one_hot(choice, len(cands))
-    return jnp.sum(stack * onehot, axis=1)
+        r = cands[0]
+    else:
+        choice = jax.random.randint(r6, (b,), 0, len(cands))
+        stack = jnp.stack(cands, axis=1)
+        onehot = jax.nn.one_hot(choice, len(cands))
+        r = jnp.sum(stack * onehot, axis=1)
+    if chain_cfg:
+        r = r * _size_ratio(r8, b, chain_cfg, 1.0)
+    return jnp.clip(1.0 / jnp.maximum(r, 1e-6), 0.0, 1.0)
+
+
+def _att_wrap(fn: Callable, att_cfg: dict, square: bool = False,
+              chain: bool = False) -> Callable:
+    """Scale a spatial op's residual by the attenuation the reference's
+    final LR snap applies when the op ran at an intermediate canvas X
+    (_atten_factor). square=True for blur-family ops: a kernel shrunk by
+    r = X/LR loses residual energy ~quadratically in its width, unlike
+    noise whose amplitude scales ~linearly with the resample ratio."""
+    def wrapped(rng, x):
+        r1, r2 = jax.random.split(rng)
+        y = fn(r1, x)
+        v = _atten_factor(r2, x.shape[0], att_cfg.get("res_cfg") or {},
+                          int(att_cfg.get("scale", 4)),
+                          att_cfg.get("res_types") or (),
+                          chain_cfg=att_cfg.get("chain_cfg")
+                          if chain else None)[:, None, None, None]
+        if square:
+            v = v * v
+        return x + v.astype(x.dtype) * (y - x)
+
+    return wrapped
 
 
 def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
@@ -427,7 +444,8 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
             r_v = jax.random.fold_in(rng, 11)
             v = _atten_factor(r_v, b, atten.get("res_cfg") or {},
                               int(atten.get("scale", 4)),
-                              atten.get("res_types") or ())[
+                              atten.get("res_types") or (),
+                              chain_cfg=atten.get("chain_cfg"))[
                 :, None, None, None]
 
         def gated(op, r, p):
@@ -458,14 +476,68 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
     return _with_prob(fn, prob)
 
 
+def _size_ratio(rng, b: int, res_cfg: dict, in_over_out: float):
+    """Per-sample UNCLIPPED intermediate-size ratio r = X / out_size for
+    the plain-kernel branch of adj_scale_config (ref augmentations.py:58):
+    branch ~ resize_prob {up, down, keep}; X = in_size * U(range), so
+    r = in_over_out * sc_fact. in_over_out: input/output size ratio of
+    the stage (scale for the HR->LR stage, 1 for the LR-canvas resize2).
+    Unlike _atten_factor (which clips to <=1 for residual attenuation),
+    sub-output sizes (r < 1, e.g. Real-ESRGAN's resize_range_down
+    reaching 0.15 < 1/scale) keep their true ratio."""
+    r1, r2, r3 = jax.random.split(rng, 3)
+    probs = dict(res_cfg.get("resize_prob") or {"down": 1.0})
+    p_up = float(probs.get("up", 0.0))
+    p_down = float(probs.get("down", 1.0))
+    p_keep = float(probs.get("keep", 0.0))
+    tot = max(p_up + p_down + p_keep, 1e-8)
+    rd = res_cfg.get("resize_range_down") or [
+        1.0 / max(in_over_out, 2.0), 2.0 / max(in_over_out, 2.0)]
+    ru = res_cfg.get("resize_range_up") or [1.0, 1.5]
+    sc_d = jax.random.uniform(r1, (b,), minval=float(rd[0]),
+                              maxval=float(rd[1]))
+    sc_u = jax.random.uniform(r2, (b,), minval=float(ru[0]),
+                              maxval=float(ru[1]))
+    u = jax.random.uniform(r3, (b,)) * tot
+    r = jnp.where(u < p_down, in_over_out * sc_d,
+                  jnp.where(u < p_down + p_up, in_over_out * sc_u,
+                            jnp.full((b,), in_over_out)))
+    return r
+
+
+def _q8(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 wire between stages: the reference's transform chain passes
+    uint8 cv2 images transform-to-transform (augmennt transforms consume
+    and emit uint8), so every stage output rounds to 1/255 steps — this
+    sets the same ~48 dB PSNR ceiling and noise floor the reference has."""
+    return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) * (1.0 / 255.0)
+
+
 def _resize_stage(types: Sequence[int], out_hw_fn, prob: float = 1.0,
                   down_up_types: Optional[Sequence[int]] = None,
-                  weights=None) -> Callable:
+                  weights=None, res_cfg: Optional[dict] = None,
+                  scale: int = 4, in_over_out: float = None,
+                  chain_cfg: Optional[dict] = None,
+                  post_cfg: Optional[dict] = None) -> Callable:
     """Per-sample weighted choice among resize types (ref aug_pipeline
     resize via Scale_class/adj_scale_config). Special codes (reference
     ints): 997 nearest_aligned, 998 down_up, 999 realistic kernels
     (handled by the caller via the kernel bank). Candidates are computed
-    at the static target size and mixed one-hot."""
+    at the static target size and mixed one-hot.
+
+    res_cfg: when given (plain path), the reference's per-sample random
+    INTERMEDIATE size X (adj_scale_config:58 — resize_prob branch +
+    resize_range_*) is emulated with bucketed double resampling: X/out
+    snaps to the log-nearest of a bucket set spanning BOTH sub-output
+    sizes (Real-ESRGAN's range_down reaches 0.15*HR < LR — real
+    information loss) and super-output sizes, each bucket resizes
+    in -> X -> out with per-sample algos, and the bucket is chosen per
+    sample from the reference's own branch distribution — real
+    double-resample softness/aliasing diversity within the batch, with
+    static shapes. The same machinery applies to the LR-canvas resize2
+    stage (in_over_out=1): the reference's second-stage resample
+    (Scale_class at 1730) is a genuine down(or up)-then-snap there, not
+    a no-op."""
     algos = [t for t in types if isinstance(t, int)]
     down_up_mode = any(t == 998 for t in algos)
     aligned = any(t in (995, 997) for t in algos)
@@ -475,13 +547,112 @@ def _resize_stage(types: Sequence[int], out_hw_fn, prob: float = 1.0,
         plain = [777]
     du_algos = [t for t in (down_up_types or (773, 777))
                 if isinstance(t, int)] or [773, 777]
+    if in_over_out is None:
+        in_over_out = float(scale)
+    # bucket factors X/out (1.0 = the direct single resample): sub-out
+    # buckets model X below the target size, super-out above it.
+    # Sizes well above the output (X >= ~0.75*input for the HR stage,
+    # X >= output for the LR-canvas stage) lose nothing to the final
+    # snap — those draws map to the direct candidate.
+    if in_over_out > 1.0:
+        # the reference resamples at BOTH stages for any non-keep draw
+        # (adj_scale_config only yields scale=1 on the keep branch), so
+        # the single-resample direct candidate maps ONLY to r ~ in/out
+        # (X ~ input size, i.e. keep); down-draws near the input get a
+        # genuine double resample via the 0.75*io bucket and up-draws
+        # via the 1.125*io one (X above the input size)
+        _BUCKETS = (0.6, 0.8, 1.25, 1.5, 2.0, 0.75 * in_over_out,
+                    1.125 * in_over_out)
+    else:
+        # LR-canvas stage: in the reference the stage-2 resample runs on
+        # the HIGH-RES canvas (X1 -> X2, both typically > LR) and only
+        # the final X2 -> LR snap loses resolution — so X2 >= LR maps to
+        # the direct (single-final-resample) slot; genuine extra loss
+        # exists only for sub-LR X2, plus a mild 1.2 softening bucket
+        _BUCKETS = (0.5, 0.7, 0.85, 1.2)
+
+    def _plain_cand(rng, x, out_hw):
+        rd, rv, rc, *rbs = jax.random.split(rng, 6 + 2 * len(_BUCKETS))
+        direct = D.random_resize(rd, x, out_hw, plain)
+        if res_cfg is None:
+            return direct
+        b = x.shape[0]
+        ratio = _size_ratio(rv, b, res_cfg, in_over_out)
+        if chain_cfg is not None:
+            # LR-canvas stage2: the reference's factor applies to the
+            # CURRENT (stage-1 intermediate) size X1, not to LR — the
+            # effective X2/LR is the product of an X1/LR draw and this
+            # stage's factor (ref Scale_class:1734 composing :58)
+            ratio = ratio * _size_ratio(
+                rc, b, chain_cfg, float(chain_cfg.get("_scale", scale)))
+        # slot 0 (the direct single resample) sits at the KEEP factor:
+        # X ~ input size, where the reference's stage is a no-op and
+        # only the final snap resamples. LR-canvas stage: everything
+        # from ~1.35 up folds into direct (see _BUCKETS comment).
+        if in_over_out <= 1.0:
+            ratio = jnp.where(ratio >= 1.35, jnp.ones_like(ratio), ratio)
+        facs = jnp.asarray((max(in_over_out, 1.0),) + _BUCKETS)
+        idx = jnp.argmin(
+            jnp.abs(jnp.log(ratio[:, None]) - jnp.log(facs[None, :])),
+            axis=1)
+        if post_cfg is not None and in_over_out > 1.0:
+            # resize2's genuine high-canvas downscale (X1 -> X2 with an
+            # independent kernel; ~no resolution cost, real kernel
+            # mixing) still applies after stage 1 in the reference.
+            # With resize2's own down probability: keep-draws (idx 0,
+            # which would otherwise be a single clean resample) reroute
+            # through the 0.75*io double-resample bucket, and up-draws
+            # (last bucket) through the TRIPLE up-mid-down composite
+            # (slot len+1) — so a pure single-kernel near-exact chain
+            # only survives keep+keep, as in the reference
+            pr = dict(post_cfg.get("resize_prob") or {"down": 1.0})
+            p_dn = float(pr.get("down", 1.0)) / max(
+                sum(float(v) for v in pr.values()), 1e-8)
+            coin = jax.random.uniform(rc, (b,)) < p_dn
+            idx = jnp.where((idx == 0) & coin, len(_BUCKETS) - 1, idx)
+            idx = jnp.where((idx == len(_BUCKETS)) & coin,
+                            len(_BUCKETS) + 1, idx)
+        def _mid(o, f):
+            # off-aligned intermediate: the reference resizes through
+            # RANDOM fractional sizes, so integer-ratio phase alignment
+            # (mid % out == 0) that makes a double resample artificially
+            # clean never happens — nudge such sizes off the lattice
+            m = max(min(int(round(o * f)), 8 * o), 4)
+            if m % o == 0 or o % max(m, 1) == 0:
+                m += max(o // 10, 1)
+            return m
+
+        cands_b = [direct]
+        for k, f in enumerate(_BUCKETS):
+            mid_hw = (_mid(out_hw[0], f), _mid(out_hw[1], f))
+            if mid_hw == out_hw:
+                mid_hw = (out_hw[0] + (1 if f > 1 else -1),
+                          max(out_hw[1] + (1 if f > 1 else -1), 4))
+            y = D.random_resize(rbs[2 * k], x, mid_hw, plain)
+            cands_b.append(D.random_resize(rbs[2 * k + 1], y, out_hw,
+                                           plain))
+        if post_cfg is not None and in_over_out > 1.0:
+            # triple up-mid-down composite for rerouted up-draws
+            up_hw = (_mid(out_hw[0], 1.125 * in_over_out),
+                     _mid(out_hw[1], 1.125 * in_over_out))
+            dn_hw = (_mid(out_hw[0], 0.75 * in_over_out),
+                     _mid(out_hw[1], 0.75 * in_over_out))
+            k3 = 2 * len(_BUCKETS)
+            y = D.random_resize(rbs[k3], x, up_hw, plain)
+            y = D.random_resize(rbs[k3 + 1], y, dn_hw, plain)
+            cands_b.append(D.random_resize(rbs[k3 + 2], y, out_hw,
+                                           plain))
+        stack = jnp.stack(cands_b, axis=1)
+        onehot = jax.nn.one_hot(idx, len(cands_b),
+                                dtype=x.dtype)[:, :, None, None, None]
+        return jnp.sum(stack * onehot, axis=1)
 
     def fn(rng, x):
         out_hw = out_hw_fn(x.shape)
-        r1, r2, r3 = jax.random.split(rng, 3)
+        r1, r2, r2b, r3 = jax.random.split(rng, 4)
         cands: List[jnp.ndarray] = []
         if plain:
-            cands.append(D.random_resize(r1, x, out_hw, plain))
+            cands.append(_plain_cand(r1, x, out_hw))
         if aligned:
             s = x.shape[1] // out_hw[0]
             if s > 1 and x.shape[1] % out_hw[0] == 0:
@@ -496,7 +667,7 @@ def _resize_stage(types: Sequence[int], out_hw_fn, prob: float = 1.0,
                 # by an extra resample (ref adj_scale_config 998 path:
                 # scale' = U(s/2, s), then final_scale snaps to target)
                 y = D.random_resize(r2, x, out_hw, du_algos)
-                cands.append(D.down_up(r2, y, algos=du_algos,
+                cands.append(D.down_up(r2b, y, algos=du_algos,
                                        scale_range=(1.0, 2.0)))
         if len(cands) == 1:
             return cands[0]
@@ -562,6 +733,13 @@ class BatchDegrader:
                 dataset_opt["noise_data"], patch_size=max(lr_size, 16))
 
         p = self.params
+        # shared attenuation config for LR-phase ops in the per-sample
+        # shuffle path (see _build_persample.att_blend / _atten_factor)
+        self._att_cfg = {"res_cfg": cfgs.get("resize") or {},
+                         "scale": self.scale,
+                         "res_types": (p.get("resize") or {}
+                                       ).get("types") or ()} \
+            if "resize" in p else None
         stages: List[Tuple[str, Callable]] = []
         for name in self.ORDER:
             if name not in p:
@@ -569,9 +747,22 @@ class BatchDegrader:
             conf = p[name]
             cyc = 2 if name.endswith("2") else 1
             if name in ("blur", "blur2"):
-                stages.append((name, _blur_stage(
-                    conf["types"], cfgs, conf["prob"],
-                    weights=conf.get("weights"), cycle=cyc)))
+                bfn = _blur_stage(conf["types"], cfgs, conf["prob"],
+                                  weights=conf.get("weights"), cycle=cyc)
+                if name == "blur2" and self._att_cfg is not None:
+                    # blur2 runs at the X1 canvas in the reference
+                    # (canonical order: ... blur2 -> resize2 -> noise2);
+                    # the final LR snap shrinks its kernel by X1/LR.
+                    # linear v calibrated empirically: ref resrgan
+                    # blur2-only 33.4 dB sits between our no-att 29.9
+                    # and v^2 36.4 (the snap's own kernel re-blurs some
+                    # of what the shrink removes)
+                    stages.append((name, {
+                        "no": bfn,
+                        "att": _att_wrap(bfn, self._att_cfg,
+                                         square=False)}))
+                else:
+                    stages.append((name, bfn))
             elif name in ("noise", "noise2", "compression"):
                 types = conf["types"] or (["jpeg"]
                                           if name == "compression" else [])
@@ -592,10 +783,16 @@ class BatchDegrader:
                     # and the final downscale attenuates it (~U(0.5, 1));
                     # before the resize, the real downscale does the
                     # attenuation naturally (see _noise_stage)
-                    att_cfg = {"res_cfg": cfgs.get("resize") or {},
-                               "scale": self.scale,
-                               "res_types": (p.get("resize") or {}
-                                             ).get("types") or ()}
+                    att_cfg = dict(self._att_cfg or {
+                        "res_cfg": cfgs.get("resize") or {},
+                        "scale": self.scale,
+                        "res_types": (p.get("resize") or {}
+                                      ).get("types") or ()})
+                    if name == "noise2" and "resize2" in p:
+                        # noise2 follows resize2 in the canonical order:
+                        # its canvas is X2 = X1 * f2 (ratios compose in
+                        # _atten_factor before the clip)
+                        att_cfg["chain_cfg"] = cfgs.get("resize2") or {}
                     stages.append((name, {
                         "no": _noise_stage(types, cfgs, conf["prob"],
                                            weights=conf.get("weights"),
@@ -628,16 +825,33 @@ class BatchDegrader:
                     stages.append((name, _resize_stage(
                         conf["types"], out_fn, conf["prob"],
                         down_up_types=dataset_opt.get("down_up_types"),
-                        weights=conf.get("weights"))))
+                        weights=conf.get("weights"),
+                        res_cfg=(cfgs.get(name) or {})
+                        if cfgs.get(name) is not None
+                        or name == "resize" else None,
+                        scale=self.scale,
+                        in_over_out=(float(self.scale)
+                                     if name == "resize" else 1.0),
+                        chain_cfg=(dict(cfgs.get("resize") or {},
+                                        _scale=self.scale)
+                                   if name == "resize2" else None),
+                        post_cfg=(cfgs.get("resize2")
+                                  if name == "resize" and
+                                  "resize2" in p else None))))
             elif name == "auto_levels":
                 prob = conf["prob"]
                 stages.append((name, _with_prob(
                     lambda rng, x: D.auto_levels(x), prob)))
             elif name == "unsharp":
-                stages.append((name, _with_prob(D.unsharp_mask,
-                                                conf["prob"])))
+                ufn = _with_prob(D.unsharp_mask, conf["prob"])
+                stages.append((name, ufn if self._att_cfg is None else {
+                    "no": ufn,
+                    "att": _att_wrap(ufn, self._att_cfg, square=True)}))
             elif name == "fringes":
-                stages.append((name, _with_prob(D.fringes, conf["prob"])))
+                ffn = _with_prob(D.fringes, conf["prob"])
+                stages.append((name, ffn if self._att_cfg is None else {
+                    "no": ffn,
+                    "att": _att_wrap(ffn, self._att_cfg, square=True)}))
         self.stages = stages
 
         # finals (ref aug_pipeline:1780-1786): [final_scale + final_blur]
@@ -670,6 +884,108 @@ class BatchDegrader:
     def is_noop(self) -> bool:
         return not self.stages and not self.finals
 
+    def _build_persample(self) -> Callable:
+        """ONE jitted program with TRUE per-sample shuffle semantics
+        (ref aug_pipeline:1748 random.shuffle(transform_list) runs per
+        sample inside the DataLoader worker).
+
+        A uniform random permutation of [stages..., resize] is drawn per
+        sample as iid uniform scores; stages scoring below the resize's
+        score form that sample's HR phase (run at HR canvas), the rest
+        its LR phase — exactly the uniform-permutation split. Each phase
+        executes as `m` slot steps: at slot j every stage's candidate is
+        computed and each sample keeps the candidate of ITS stage at
+        that slot (identity once its phase is exhausted). Shapes stay
+        static, one program compiles (vs the 8 order-specializations of
+        the per-batch approximation this replaces).
+
+        Noise-family stages use their attenuated variant in the LR
+        phase (post-resize: the reference injects them at an
+        intermediate size and the final snap attenuates, _atten_factor)
+        and the plain variant in the HR phase (the real downscale
+        attenuates naturally).
+        """
+        boundary = next((i for i, (n, _) in enumerate(self.stages)
+                         if n == "resize"), None)
+        perm = [(n, fn) for i, (n, fn) in enumerate(self.stages)
+                if i != boundary]
+        resize_fn = self.stages[boundary][1] if boundary is not None \
+            else None
+        m = len(perm)
+        res_f, comp_f = self._resize_finals, self._comp_finals
+        att_cfg = getattr(self, "_att_cfg", None)
+
+        def variant(name, fn, att: bool):
+            # blur2/unsharp/fringes/noise-family carry their own
+            # {no, att} dicts (built with stage-appropriate attenuation,
+            # see __init__); only stage-1 blur needs an ad-hoc wrap when
+            # the per-sample shuffle lands it in the LR phase
+            if isinstance(fn, dict):
+                return fn["att" if att else "no"]
+            if att and att_cfg is not None and name == "blur":
+                return _att_wrap(fn, att_cfg, square=True)
+            return fn
+
+        def phase_exec(rng, x, order, count, att: bool):
+            # order: (b, m) stage index per slot; count: (b,) phase size
+            for j in range(m):
+                rngs = jax.random.split(jax.random.fold_in(rng, j),
+                                        m)
+                cands = [variant(n, fn, att)(r, x)
+                         for (n, fn), r in zip(perm, rngs)]
+                stack = jnp.stack([x] + cands, axis=1)
+                idx = jnp.where(j < count, order[:, j] + 1, 0)
+                x = _q8(jnp.take_along_axis(
+                    stack, idx[:, None, None, None, None], axis=1
+                )[:, 0])
+            return x
+
+        def seg(fns, rng, x):
+            for _, fn in fns:
+                rng, r = jax.random.split(rng)
+                x = _q8(fn(r, x))
+            return x
+
+        def run(rng, x):
+            from ..ops.blocks import wire_to_f01
+
+            x = wire_to_f01(x)
+            b = x.shape[0]
+            r_perm, r_hr, r_res, r_lr, rng = jax.random.split(rng, 5)
+            if m and resize_fn is not None:
+                scores = jax.random.uniform(r_perm, (b, m + 1))
+                hr_mask = scores[:, :m] < scores[:, m:]
+                hr_sc = jnp.where(hr_mask, scores[:, :m], jnp.inf)
+                lr_sc = jnp.where(hr_mask, jnp.inf, scores[:, :m])
+                hr_order = jnp.argsort(hr_sc, axis=1)
+                lr_order = jnp.argsort(lr_sc, axis=1)
+                hr_count = hr_mask.sum(axis=1)
+                lr_count = m - hr_count
+                x = phase_exec(r_hr, x, hr_order, hr_count, att=False)
+                x = _q8(resize_fn(r_res, x))
+                x = phase_exec(r_lr, x, lr_order, lr_count, att=True)
+            elif m:
+                # no size boundary: one uniform per-sample permutation
+                scores = jax.random.uniform(r_perm, (b, m))
+                order = jnp.argsort(scores, axis=1)
+                x = phase_exec(r_hr, x, order,
+                               jnp.full((b,), m), att=False)
+            elif resize_fn is not None:
+                x = _q8(resize_fn(r_res, x))
+            if res_f and comp_f:
+                rng, ra, rb, rc = jax.random.split(rng, 4)
+                y_a = seg(res_f, ra, seg(comp_f, rb, x))
+                y_b = seg(comp_f, rb, seg(res_f, ra, x))
+                coin = jax.random.uniform(
+                    rc, (x.shape[0], 1, 1, 1)) < 0.5
+                x = jnp.where(coin, y_a, y_b)
+            elif res_f or comp_f:
+                rng, r = jax.random.split(rng)
+                x = seg(res_f or comp_f, r, x)
+            return _q8(x)
+
+        return jax.jit(run)
+
     def _build(self, order: Tuple[int, ...]) -> Callable:
         ordered = [self.stages[i] for i in order]
         names = [n for n, _ in ordered]
@@ -685,7 +1001,7 @@ class BatchDegrader:
         def seg(fns, rng, x):
             for _, fn in fns:
                 rng, r = jax.random.split(rng)
-                x = fn(r, x)
+                x = _q8(fn(r, x))
             return x
 
         def run(rng, x):
@@ -694,7 +1010,7 @@ class BatchDegrader:
             x = wire_to_f01(x)
             for _, fn in stages:
                 rng, r = jax.random.split(rng)
-                x = fn(r, x)
+                x = _q8(fn(r, x))
             if res_f and comp_f:
                 # per-sample coin: comp-then-resize vs resize-then-comp
                 rng, ra, rb, rc = jax.random.split(rng, 4)
@@ -706,56 +1022,21 @@ class BatchDegrader:
             elif res_f or comp_f:
                 rng, r = jax.random.split(rng)
                 x = seg(res_f or comp_f, r, x)
-            return jnp.clip(x, 0.0, 1.0)
+            return _q8(x)
 
         return jax.jit(run)
-
-    def _warm_orders_async(self, rng, images) -> None:
-        """Pre-compile every shuffle order's program CONCURRENTLY in
-        background threads (the axon relay compiles in parallel — 8
-        sequential multi-minute remote compiles collapse to ~1). Each
-        thread populates the persistent XLA compilation cache via
-        lower().compile(); the dispatch-path jit then loads from it."""
-        import threading
-
-        if jax.default_backend() == "cpu":
-            return  # local compiles are cheap; don't contend for cores
-        rng_s = jax.ShapeDtypeStruct(rng.shape, rng.dtype)
-        img_s = jax.ShapeDtypeStruct(images.shape, images.dtype)
-
-        def warm(order):
-            try:
-                self._build(order).lower(rng_s, img_s).compile()
-            except Exception:
-                pass  # fall back to on-demand compile at dispatch
-
-        for o in self._orders:
-            threading.Thread(target=warm, args=(o,), daemon=True).start()
 
     def __call__(self, rng: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
         if self.is_noop:
             return images
         n = len(self.stages)
-        order = tuple(range(n))
         if self.shuffle and n > 1:
-            # one order per call, drawn from a bounded precomputed set so
-            # jit specializations stay capped (the reference shuffles
-            # per sample; resize stays in place to keep scale consistent)
-            if not hasattr(self, "_orders"):
-                import random as _pyrandom
-
-                # all stages shuffle, resize included (ref aug_pipeline
-                # random.shuffle(transform_list) — stages before the
-                # resize run at HR canvas, after it at LR canvas)
-                gen = _pyrandom.Random(0)
-                self._orders = []
-                for _ in range(8):
-                    idx = list(range(n))
-                    gen.shuffle(idx)
-                    self._orders.append(tuple(idx))
-                self._order_rng = _pyrandom.Random(1)
-                self._warm_orders_async(rng, images)
-            order = self._order_rng.choice(self._orders)
+            # TRUE per-sample shuffle (ref aug_pipeline:1748 shuffles per
+            # sample): one compiled program, per-sample order inside
+            if "persample" not in self._jitted:
+                self._jitted["persample"] = self._build_persample()
+            return self._jitted["persample"](rng, images)
+        order = tuple(range(n))
         if order not in self._jitted:
             self._jitted[order] = self._build(order)
         return self._jitted[order](rng, images)
