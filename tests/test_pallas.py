@@ -49,6 +49,35 @@ def test_rdb5c_canvas_matches_packed_xla_forward():
     assert float(jnp.abs(ring).max()) == 0.0
 
 
+def test_rdb5c_canvas_vjp_matches_xla_grads():
+    """Grad through the canvas custom-VJP (Pallas fused fwd+bwd,
+    interpret on CPU) vs grad through the XLA packed custom-VJP: dx and
+    every per-conv dW/db agree."""
+    from trainner_tpu.models.rrdb import rdb5c_fused, rdb5c_fused_canvas
+
+    nf, gc = 64, 32
+    b, h, w = 1, 8, 10
+    ws, bs = _rdb5c_weights(nf, gc, seed=3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, nf)) * 0.1
+    fw = [v for pair in zip(ws, bs) for v in pair]
+
+    def loss_xla(x, fw):
+        return jnp.sum(rdb5c_fused(jnp.float32, nf, gc, x, *fw) ** 2)
+
+    _, rp = _canvas_geometry(h, w, x.dtype)
+
+    def loss_pallas(x, fw):
+        yc = rdb5c_fused_canvas(jnp.float32, nf, gc, h, w,
+                                to_canvas(x, rp), *fw)
+        return jnp.sum(from_canvas(yc, h, w) ** 2)
+
+    ga = jax.grad(loss_xla, argnums=(0, 1))(x, fw)
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(x, fw)
+    assert float(jnp.abs(ga[0] - gp[0]).max()) < 1e-4
+    for a, p in zip(jax.tree.leaves(ga[1]), jax.tree.leaves(gp[1])):
+        assert float(jnp.abs(a - p).max()) < 1e-3
+
+
 def test_pallas_blur_matches_xla_grouped_conv():
     x = jax.random.uniform(RNG, (4, 32, 32, 3))
     kerns = gaussian_kernels(RNG, 4, 9, (0.5, 2.0))

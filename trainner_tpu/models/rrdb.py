@@ -113,7 +113,11 @@ def _rdb_pack_kernels(w1, w2, w3, w4, w5, nf, gc):
 
 
 def _rdb5c_fwd_impl(dt, nf, gc, x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5):
-    lrelu = lambda v: nn.leaky_relu(v, 0.2)
+    # max(v, 0.2v) == leaky_relu(v, 0.2): a single select-free VPU op the
+    # TPU backend fuses into the conv output (nn.leaky_relu's where+ge
+    # lowered to standalone 769 GB/s elementwise loops, ~2.3 ms/step on
+    # the nb=23 bench — see docs/performance.md round-3 trace)
+    lrelu = lambda v: jnp.maximum(v, v * jnp.asarray(0.2, v.dtype))
     x = x.astype(dt)
     wx, w1p, w2p, w3p, w4p = _rdb_pack_kernels(w1, w2, w3, w4, w5, nf, gc)
     p = _conv3(x, wx, dt)
@@ -204,6 +208,81 @@ def _rdb5c_fused_bwd(dt, nf, gc, res, g):
 
 
 rdb5c_fused.defvjp(_rdb5c_fused_fwd, _rdb5c_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# canvas-resident 5C with fully-fused Pallas forward AND backward
+# (ops/pallas_kernels.rdb5c_canvas / rdb5c_canvas_bwd): activations stay
+# on the flat zero-ring canvas across chained blocks, each direction is
+# ONE kernel per batch sample, hardware-verified vs the XLA packed path.
+# ---------------------------------------------------------------------------
+
+
+def _unpack_wgrads(dwx, dw1p, dw2p, dw3p, dw4p, nf, gc):
+    """Packed flat (9*ci, co) f32 weight grads -> per-conv HWIO grads
+    (the inverse of _rdb_pack_kernels on the output axis)."""
+    dwx_h = dwx.reshape(3, 3, nf, -1)
+    dw1p_h = dw1p.reshape(3, 3, gc, -1)
+    dw2p_h = dw2p.reshape(3, 3, gc, -1)
+    dw3p_h = dw3p.reshape(3, 3, gc, -1)
+    dw4p_h = dw4p.reshape(3, 3, gc, -1)
+    dw1 = dwx_h[..., 0:gc]
+    dw2 = _cat([dwx_h[..., gc:2 * gc], dw1p_h[..., 0:gc]], axis=2)
+    dw3 = _cat([dwx_h[..., 2 * gc:3 * gc], dw1p_h[..., gc:2 * gc],
+                dw2p_h[..., 0:gc]], axis=2)
+    dw4 = _cat([dwx_h[..., 3 * gc:4 * gc], dw1p_h[..., 2 * gc:3 * gc],
+                dw2p_h[..., gc:2 * gc], dw3p_h[..., 0:gc]], axis=2)
+    dw5 = _cat([dwx_h[..., 4 * gc:], dw1p_h[..., 3 * gc:],
+                dw2p_h[..., 2 * gc:], dw3p_h[..., gc:], dw4p_h], axis=2)
+    return dw1, dw2, dw3, dw4, dw5
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def rdb5c_fused_canvas(dt, nf, gc, h, w, xc, w1, b1, w2, b2, w3, b3,
+                       w4, b4, w5, b5):
+    """5C chain on a zero-ring canvas (b, rp, nf): Pallas fused forward
+    + Pallas fused backward. Convert with ops.pallas_kernels.to_canvas /
+    from_canvas; chains directly block-to-block."""
+    from ..ops.pallas_kernels import rdb5c_canvas
+
+    packed = _rdb_pack_kernels(w1.astype(dt), w2.astype(dt),
+                               w3.astype(dt), w4.astype(dt),
+                               w5.astype(dt), nf, gc)
+    out, *_ = rdb5c_canvas(xc.astype(dt), packed,
+                           (b1, b2, b3, b4, b5), h, w, nf, gc)
+    return out
+
+
+def _rdb5c_canvas_fwd(dt, nf, gc, h, w, xc, w1, b1, w2, b2, w3, b3,
+                      w4, b4, w5, b5):
+    from ..ops.pallas_kernels import rdb5c_canvas
+
+    xc = xc.astype(dt)
+    packed = _rdb_pack_kernels(w1.astype(dt), w2.astype(dt),
+                               w3.astype(dt), w4.astype(dt),
+                               w5.astype(dt), nf, gc)
+    out, c1, c2, c3, c4 = rdb5c_canvas(xc, packed, (b1, b2, b3, b4, b5),
+                                       h, w, nf, gc)
+    return out, (jnp.zeros((0,), xc.dtype), xc, c1, c2, c3, c4,
+                 w1, w2, w3, w4, w5)
+
+
+def _rdb5c_canvas_bwd(dt, nf, gc, h, w, res, g):
+    from ..ops.pallas_kernels import rdb5c_canvas_bwd
+
+    tok, xc, c1, c2, c3, c4, w1, w2, w3, w4, w5 = res
+    packed = _rdb_pack_kernels(w1.astype(dt), w2.astype(dt),
+                               w3.astype(dt), w4.astype(dt),
+                               w5.astype(dt), nf, gc)
+    out = rdb5c_canvas_bwd(g.astype(dt), xc, c1, c2, c3, c4, packed,
+                           h, w, nf, gc)
+    dxc = out[0].astype(tok.dtype)
+    dw1, dw2, dw3, dw4, dw5 = _unpack_wgrads(*out[1:6], nf, gc)
+    db1, db2, db3, db4, db5 = out[6:]
+    return (dxc, dw1, db1, dw2, db2, dw3, db3, dw4, db4, dw5, db5)
+
+
+rdb5c_fused_canvas.defvjp(_rdb5c_canvas_fwd, _rdb5c_canvas_bwd)
 
 
 class ResidualDenseBlock5C(nn.Module):
