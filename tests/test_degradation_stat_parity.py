@@ -9,17 +9,19 @@ the reference's own options.parse_datasets preset overlay) and our
 batched on-device BatchDegrader — and the output DISTRIBUTIONS are
 compared:
 
-  * PSNR-to-clean mean within 1.5 dB and std within 1.5 dB
-  * pixel mean within 0.03, pixel std within 0.03
-  * mean log radial power spectrum L1 within 0.2
+  * PSNR-to-clean mean within 0.75 dB; per-sample PSNR spread (std)
+    within 1.25 dB — the within-batch diversity gate
+  * pixel mean within 0.02, pixel std within 0.015
+  * mean log radial power spectrum L1 within 0.12
 
-Tolerances calibrated against N=64 runs (observed: bsrgan 1.0 dB /
-spec 0.08, resrgan 1.1 dB / spec 0.08); sampling noise at N=48 is
-~0.5 dB. Known approximations (documented in data/pipeline.py): the
-reference resizes to per-sample random intermediate sizes while we keep
-static shapes and scale noise/compression residuals by the equivalent
-attenuation distribution (_atten_factor); our pipeline-order shuffle is
-per batch (bounded order set), the reference's per sample.
+Round-3 calibration (observed at N=48: bsrgan 0.03 dB / spec 0.069,
+resrgan 0.15 dB / spec 0.093). Emulation structure documented in
+data/pipeline.py: per-sample intermediate-size resize buckets with
+off-lattice sizes and keep/up rerouting, ONE shared per-sample X1/X2
+attenuation chain across all post-resize stages (_draw_att_pair),
+power-preserving residual coloration for attenuated noise, uint8 wire
+quantization between stages, and a TRUE per-sample order shuffle
+(_build_persample) when shuffle_degradations is on.
 """
 
 import collections
@@ -205,11 +207,18 @@ def _gate(tag, ref, ours, clean):
     msg = (f"[{tag}] psnr ref {p_r.mean():.2f}±{p_r.std():.2f} vs ours "
            f"{p_o.mean():.2f}±{p_o.std():.2f}; pixmean d={d_pix:.4f}; "
            f"spec L1={d_spec:.3f}")
-    assert d_mean < 1.5, msg
-    assert d_std < 1.5, msg
-    assert d_pix < 0.03, msg
-    assert d_pixstd < 0.03, msg
-    assert d_spec < 0.2, msg
+    # round-3 tightened gates (VERDICT r2 item 4; observed after the
+    # shared-attenuation-chain + uint8-wire + resize-chain calibration:
+    # bsrgan 0.03 dB / spec 0.069, resrgan 0.15 dB / spec 0.093 at N=48;
+    # margins cover ~N=48 sampling noise)
+    assert d_mean < 0.75, msg
+    # within-batch diversity: per-sample PSNR spread must match the
+    # reference's (the shared per-sample X1/X2 attenuation chain is what
+    # carries this — independent per-stage draws average it out)
+    assert d_std < 1.25, msg
+    assert d_pix < 0.02, msg
+    assert d_pixstd < 0.015, msg
+    assert d_spec < 0.12, msg
 
 
 @pytest.mark.parametrize("strategy", ["bsrgan", "resrgan"])
@@ -228,9 +237,13 @@ def test_realsr_pipeline_statistical_parity(crops, realsr_assets):
     _setup_reference()
     crop_bgr, crop_rgb, clean = crops
     kdir_ref, kdir_flat, ndir = realsr_assets
+    # trailing separator: the reference globs `noise_data + '*.png'`
+    # (NoisePatches:388, no path join) — without it the stage silently
+    # finds zero patches and drops itself; real option files pass
+    # slash-terminated dirs
     ref = _ref_samples("realsr", crop_bgr, N,
                        extra={"dataroot_kernels": kdir_ref,
-                              "noise_data": ndir,
+                              "noise_data": ndir + os.sep,
                               "noise_data_size": 64})
     ours = _our_samples("realsr", crop_rgb, N,
                         extra={"dataroot_kernels": kdir_flat,

@@ -135,13 +135,14 @@ def _with_prob(fn: Callable, prob: float) -> Callable:
     if prob >= 1.0:
         return fn
 
-    def wrapped(rng, x):
+    def wrapped(rng, x, **kw):
         r1, r2 = jax.random.split(rng)
-        y = fn(r1, x)
+        y = fn(r1, x, **kw)
         b = x.shape[0]
         mask = (jax.random.uniform(r2, (b, 1, 1, 1)) < prob)
         return jnp.where(mask, y, x) if y.shape == x.shape else y
 
+    wrapped._wants_att = getattr(fn, "_wants_att", False)
     return wrapped
 
 
@@ -275,7 +276,17 @@ def _atten_factor(rng, b: int, res_cfg: dict, scale: int,
     resize_prob/ranges relative to the current size (Scale_class:1734) —
     the ratios compose BEFORE the final clip, so a sub-LR X2 correctly
     yields no attenuation rather than double attenuation."""
-    r1, r4, r5, r6, r7, r8 = jax.random.split(rng, 6)
+    rr, r8 = jax.random.split(rng)
+    r = _atten_ratio(rr, b, res_cfg, scale, res_types)
+    if chain_cfg:
+        r = r * _size_ratio(r8, b, chain_cfg, 1.0)
+    return jnp.clip(1.0 / jnp.maximum(r, 1e-6), 0.0, 1.0)
+
+
+def _atten_ratio(rng, b: int, res_cfg: dict, scale: int,
+                 res_types: Sequence[int] = ()):
+    """The per-sample canvas-size ratio r = X1 / LR (see _atten_factor)."""
+    r1, r4, r5, r6, r7 = jax.random.split(rng, 5)
     r_plain = _size_ratio(r1, b, res_cfg, float(scale))
     algos = [t for t in res_types if isinstance(t, int)]
     cands = [r_plain] * max(
@@ -300,9 +311,29 @@ def _atten_factor(rng, b: int, res_cfg: dict, scale: int,
         stack = jnp.stack(cands, axis=1)
         onehot = jax.nn.one_hot(choice, len(cands))
         r = jnp.sum(stack * onehot, axis=1)
-    if chain_cfg:
-        r = r * _size_ratio(r8, b, chain_cfg, 1.0)
-    return jnp.clip(1.0 / jnp.maximum(r, 1e-6), 0.0, 1.0)
+    return r
+
+
+def _draw_att_pair(rng, b: int, att_cfg: dict):
+    """ONE shared per-sample attenuation chain for the whole pipeline
+    call: in the reference the SAME X1/X2 intermediate sizes apply to
+    every op of a sample, so a hard-hit sample is hard-hit across
+    blur2, noise and compression together — per-stage independent draws
+    would average that out and compress the output diversity. Returns
+    (v1, v2) column vectors: v1 = clip(LR/X1) for X1-canvas ops, v2 =
+    clip(LR/X2) for post-resize2 ops."""
+    r1k, f2k = jax.random.split(rng)
+    r = _atten_ratio(r1k, b, att_cfg.get("res_cfg") or {},
+                     int(att_cfg.get("scale", 4)),
+                     att_cfg.get("res_types") or ())
+    v1 = jnp.clip(1.0 / jnp.maximum(r, 1e-6), 0.0, 1.0)
+    ch = att_cfg.get("chain_cfg2")
+    if ch:
+        r2 = r * _size_ratio(f2k, b, ch, 1.0)
+        v2 = jnp.clip(1.0 / jnp.maximum(r2, 1e-6), 0.0, 1.0)
+    else:
+        v2 = v1
+    return v1[:, None, None, None], v2[:, None, None, None]
 
 
 def _att_wrap(fn: Callable, att_cfg: dict, square: bool = False,
@@ -311,20 +342,44 @@ def _att_wrap(fn: Callable, att_cfg: dict, square: bool = False,
     final LR snap applies when the op ran at an intermediate canvas X
     (_atten_factor). square=True for blur-family ops: a kernel shrunk by
     r = X/LR loses residual energy ~quadratically in its width, unlike
-    noise whose amplitude scales ~linearly with the resample ratio."""
-    def wrapped(rng, x):
+    noise whose amplitude scales ~linearly with the resample ratio.
+    Uses the caller-provided shared per-call (v1, v2) pair when given
+    (att kwarg, _draw_att_pair); falls back to an independent draw."""
+    def wrapped(rng, x, att=None):
         r1, r2 = jax.random.split(rng)
         y = fn(r1, x)
-        v = _atten_factor(r2, x.shape[0], att_cfg.get("res_cfg") or {},
-                          int(att_cfg.get("scale", 4)),
-                          att_cfg.get("res_types") or (),
-                          chain_cfg=att_cfg.get("chain_cfg")
-                          if chain else None)[:, None, None, None]
+        if att is not None:
+            v = att[1] if chain else att[0]
+        else:
+            v = _atten_factor(r2, x.shape[0],
+                              att_cfg.get("res_cfg") or {},
+                              int(att_cfg.get("scale", 4)),
+                              att_cfg.get("res_types") or (),
+                              chain_cfg=att_cfg.get("chain_cfg")
+                              if chain else None)[:, None, None, None]
         if square:
             v = v * v
         return x + v.astype(x.dtype) * (y - x)
 
+    wrapped._wants_att = True
     return wrapped
+
+
+def _blur3(x: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 3x3 binomial ([1,2,1]/4 separable) low-pass, SAME pad."""
+    c = x.shape[-1]
+    k1 = jnp.asarray([0.25, 0.5, 0.25], x.dtype)
+    kh = jnp.tile(k1.reshape(3, 1, 1, 1), (1, 1, 1, c))
+    kw = jnp.tile(k1.reshape(1, 3, 1, 1), (1, 1, 1, c))
+    dn = jax.lax.conv_dimension_numbers(x.shape, (3, 1, 1, c),
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME", (1, 1),
+                                     (1, 1), dn, feature_group_count=c)
+    dn2 = jax.lax.conv_dimension_numbers(x.shape, (1, 3, 1, c),
+                                         ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(y, kw, (1, 1), "SAME", (1, 1),
+                                        (1, 1), dn2,
+                                        feature_group_count=c)
 
 
 def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
@@ -436,22 +491,41 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
     op_ps = [float(_cfg_for(cfgs, t, cycle).get("p", 0.5))
              for t in types]
 
-    def fn(rng, x):
+    def fn(rng, x, att=None):
         b = x.shape[0]
         rngs = jax.random.split(rng, len(ops) + 2)
         v = None
         if atten is not None:
-            r_v = jax.random.fold_in(rng, 11)
-            v = _atten_factor(r_v, b, atten.get("res_cfg") or {},
-                              int(atten.get("scale", 4)),
-                              atten.get("res_types") or (),
-                              chain_cfg=atten.get("chain_cfg"))[
-                :, None, None, None]
+            if att is not None:
+                # shared per-call chain (see _draw_att_pair)
+                v = att[1] if atten.get("chain_cfg") else att[0]
+            else:
+                r_v = jax.random.fold_in(rng, 11)
+                v = _atten_factor(r_v, b, atten.get("res_cfg") or {},
+                                  int(atten.get("scale", 4)),
+                                  atten.get("res_types") or (),
+                                  chain_cfg=atten.get("chain_cfg"))[
+                    :, None, None, None]
 
         def gated(op, r, p):
             y = op(r, x)
             if y.shape == x.shape and v is not None:
-                y = x + v.astype(x.dtype) * (y - x)
+                # amplitude: residual scales by the calibrated v.
+                # SHAPE: the reference's final AA downscale also
+                # CORRELATES the injected noise (the antialiasing
+                # kernel's support is ~4 LR px regardless of the ratio,
+                # so white noise at X arrives low-passed on the LR
+                # grid); blend toward a 3x3 binomial blur with strength
+                # 1-v, renormalized per sample so the calibrated
+                # residual power is preserved
+                res = (y - x).astype(jnp.float32)
+                c = jnp.clip(1.0 - v, 0.0, 1.0)
+                res_c = res + c * (_blur3(res) - res)
+                s0 = jnp.sqrt(jnp.mean(res * res, axis=(1, 2, 3),
+                                       keepdims=True) + 1e-12)
+                s1 = jnp.sqrt(jnp.mean(res_c * res_c, axis=(1, 2, 3),
+                                       keepdims=True) + 1e-12)
+                y = x + (v * res_c * (s0 / s1)).astype(x.dtype)
             if p >= 1.0 or y.shape != x.shape:
                 return y
             r_p = jax.random.fold_in(r, 7)
@@ -473,6 +547,7 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
                                 dtype=x.dtype)[:, :, None, None, None]
         return jnp.sum(cands * onehot, axis=1)
 
+    fn._wants_att = atten is not None
     return _with_prob(fn, prob)
 
 
@@ -738,7 +813,9 @@ class BatchDegrader:
         self._att_cfg = {"res_cfg": cfgs.get("resize") or {},
                          "scale": self.scale,
                          "res_types": (p.get("resize") or {}
-                                       ).get("types") or ()} \
+                                       ).get("types") or (),
+                         "chain_cfg2": (cfgs.get("resize2")
+                                        if "resize2" in p else None)} \
             if "resize" in p else None
         stages: List[Tuple[str, Callable]] = []
         for name in self.ORDER:
@@ -826,9 +903,12 @@ class BatchDegrader:
                         conf["types"], out_fn, conf["prob"],
                         down_up_types=dataset_opt.get("down_up_types"),
                         weights=conf.get("weights"),
-                        res_cfg=(cfgs.get(name) or {})
-                        if cfgs.get(name) is not None
-                        or name == "resize" else None,
+                        # bucketed intermediate-size emulation only when
+                        # an aug_config exists for the stage — without
+                        # one the reference never calls adj_scale_config
+                        # (get_res_confs:1490 add_conf) and the resize
+                        # is a plain direct downscale
+                        res_cfg=cfgs.get(name),
                         scale=self.scale,
                         in_over_out=(float(self.scale)
                                      if name == "resize" else 1.0),
@@ -926,13 +1006,16 @@ class BatchDegrader:
                 return _att_wrap(fn, att_cfg, square=True)
             return fn
 
-        def phase_exec(rng, x, order, count, att: bool):
+        def phase_exec(rng, x, order, count, att: bool, att_pair=None):
             # order: (b, m) stage index per slot; count: (b,) phase size
             for j in range(m):
                 rngs = jax.random.split(jax.random.fold_in(rng, j),
                                         m)
-                cands = [variant(n, fn, att)(r, x)
-                         for (n, fn), r in zip(perm, rngs)]
+                cands = [vfn(r, x, att=att_pair)
+                         if getattr(vfn, "_wants_att", False)
+                         else vfn(r, x)
+                         for (n, fn), r in zip(perm, rngs)
+                         for vfn in (variant(n, fn, att),)]
                 stack = jnp.stack([x] + cands, axis=1)
                 idx = jnp.where(j < count, order[:, j] + 1, 0)
                 x = _q8(jnp.take_along_axis(
@@ -951,7 +1034,10 @@ class BatchDegrader:
 
             x = wire_to_f01(x)
             b = x.shape[0]
-            r_perm, r_hr, r_res, r_lr, rng = jax.random.split(rng, 5)
+            r_perm, r_hr, r_res, r_lr, r_att, rng = jax.random.split(
+                rng, 6)
+            att_pair = _draw_att_pair(r_att, b, att_cfg) \
+                if att_cfg is not None else None
             if m and resize_fn is not None:
                 scores = jax.random.uniform(r_perm, (b, m + 1))
                 hr_mask = scores[:, :m] < scores[:, m:]
@@ -963,7 +1049,8 @@ class BatchDegrader:
                 lr_count = m - hr_count
                 x = phase_exec(r_hr, x, hr_order, hr_count, att=False)
                 x = _q8(resize_fn(r_res, x))
-                x = phase_exec(r_lr, x, lr_order, lr_count, att=True)
+                x = phase_exec(r_lr, x, lr_order, lr_count, att=True,
+                               att_pair=att_pair)
             elif m:
                 # no size boundary: one uniform per-sample permutation
                 scores = jax.random.uniform(r_perm, (b, m))
@@ -997,6 +1084,7 @@ class BatchDegrader:
                     else fn["no"]
             stages.append((n, fn))
         res_f, comp_f = self._resize_finals, self._comp_finals
+        att_cfg = getattr(self, "_att_cfg", None)
 
         def seg(fns, rng, x):
             for _, fn in fns:
@@ -1008,9 +1096,14 @@ class BatchDegrader:
             from ..ops.blocks import wire_to_f01
 
             x = wire_to_f01(x)
+            att = None
+            if att_cfg is not None:
+                rng, ra = jax.random.split(rng)
+                att = _draw_att_pair(ra, x.shape[0], att_cfg)
             for _, fn in stages:
                 rng, r = jax.random.split(rng)
-                x = _q8(fn(r, x))
+                x = _q8(fn(r, x, att=att)
+                        if getattr(fn, "_wants_att", False) else fn(r, x))
             if res_f and comp_f:
                 # per-sample coin: comp-then-resize vs resize-then-comp
                 rng, ra, rb, rc = jax.random.split(rng, 4)
