@@ -390,3 +390,30 @@ def test_som_quantize_reduces_palette():
     assert len(colors) <= 8
     # quantization error bounded (nodes trained on the image itself)
     assert np.abs(q - img).mean() < 0.15
+
+
+def test_per_sample_shuffle_orders_differ_within_batch():
+    """TRUE per-sample order semantics (ref aug_pipeline:1748 shuffles
+    the transform list per sample): two noncommuting injected stages
+    A(x)=x*0.5 and B(x)=x+0.25 must yield BOTH composition results
+    (A.B -> 0.375 on zeros after B first, B.A -> 0.25... distinct
+    values) across samples of ONE batch in ONE jitted call."""
+    opt = {"scale": 4, "lr_noise": True, "lr_noise_types": ["gaussian"],
+           "shuffle_degradations": True, "aug_configs": {}}
+    deg = BatchDegrader(opt, "lr")
+    deg.stages = [("a", lambda rng, x: x * 0.5),
+                  ("b", lambda rng, x: x + 0.25)]
+    deg._resize_finals = []
+    deg._comp_finals = []
+    deg._jitted = {}
+    assert deg.shuffle
+    x = jnp.zeros((64, 8, 8, 3))
+    y = np.asarray(deg(jax.random.PRNGKey(0), x))
+    per_sample = np.round(y.mean(axis=(1, 2, 3)), 3)
+    vals = sorted(set(per_sample.tolist()))
+    # a-then-b: (0*0.5)+0.25 = 0.25 ; b-then-a: (0+0.25)*0.5 = 0.125
+    assert len(vals) == 2, vals
+    assert abs(vals[0] - 0.125) < 2e-3 and abs(vals[1] - 0.25) < 2e-3
+    # both orders well represented within the batch (p=0.5 each)
+    n_hi = int((per_sample > 0.18).sum())
+    assert 16 <= n_hi <= 48, n_hi
