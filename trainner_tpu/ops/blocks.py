@@ -296,11 +296,17 @@ class GaussianNoise(nn.Module):
         # rebase the key onto the TPU's hardware RNG (rbg): threefry
         # normals for 23 RDB latents cost ~6 ms/step on the nb=23 bench
         # (round-3 trace); the noise is a regularizer, not a reproducible
-        # stream, so the cheaper generator is statistically equivalent
-        kd = jax.random.key_data(rng)
-        rbg = jax.random.wrap_key_data(
-            jnp.concatenate([kd, kd]).astype(jnp.uint32), impl="rbg")
-        return x + scale * jax.random.normal(rbg, x.shape, x.dtype)
+        # stream, so the cheaper generator is statistically equivalent.
+        # TRAINNER_RBG_NOISE=0 restores the threefry path (same traced
+        # graph as earlier rounds — a compile-cache knob for the slow
+        # remote-compile relay, not a behavior difference that matters)
+        import os
+
+        if os.environ.get("TRAINNER_RBG_NOISE", "1") != "0":
+            kd = jax.random.key_data(rng)
+            rng = jax.random.wrap_key_data(
+                jnp.concatenate([kd, kd]).astype(jnp.uint32), impl="rbg")
+        return x + scale * jax.random.normal(rng, x.shape, x.dtype)
 
 
 class PixelShuffleBlock(nn.Module):
