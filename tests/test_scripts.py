@@ -137,3 +137,44 @@ def test_extract_enlarge_patches(tmp_path, monkeypatch):
     patch = cv2.imread(str(out / "a_patch.png"))
     assert patch.shape == (16, 20, 3)
     assert os.path.exists(out / "a_rect.png")
+
+
+def test_back_projection_improves_lr_consistency(tmp_path, monkeypatch):
+    """ref scripts/back_projection/backprojection.m + main_bp.m: 20 BP
+    iterations must reduce ||down(SR) - LR|| on a synthetic pair; the
+    'if' reverse-filter mode must run and stay bounded."""
+    import cv2
+
+    from trainner_tpu.ops.imresize import imresize_np
+
+    rng = np.random.default_rng(0)
+    hr = rng.random((64, 64, 3)).astype(np.float32)
+    lr = np.clip(imresize_np(hr, 0.25, kernel="cubic"), 0, 1)
+    sr0 = np.clip(imresize_np(lr, 4.0, kernel="linear"), 0, 1)
+    for d in ("lr", "sr", "out_bp", "out_if"):
+        (tmp_path / d).mkdir()
+    cv2.imwrite(str(tmp_path / "lr" / "a.png"),
+                (lr * 255).astype(np.uint8))
+    cv2.imwrite(str(tmp_path / "sr" / "a.png"),
+                (sr0 * 255).astype(np.uint8))
+
+    def cons(img01):
+        d = np.clip(imresize_np(img01, 0.25, kernel="cubic"), 0, 1)
+        return float(np.abs(d - lr).mean())
+
+    _run_script("back_projection",
+                ["--lr", str(tmp_path / "lr"), "--sr", str(tmp_path / "sr"),
+                 "--out", str(tmp_path / "out_bp"), "--mode", "bp",
+                 "--iters", "20"], monkeypatch)
+    out = cv2.imread(str(tmp_path / "out_bp" / "a.png")
+                     ).astype(np.float32) / 255.0
+    before = cons(cv2.imread(str(tmp_path / "sr" / "a.png")
+                             ).astype(np.float32) / 255.0)
+    assert cons(out) < before * 0.75
+
+    _run_script("back_projection",
+                ["--lr", str(tmp_path / "lr"), "--sr", str(tmp_path / "sr"),
+                 "--out", str(tmp_path / "out_if"), "--mode", "if",
+                 "--iters", "5"], monkeypatch)
+    out_if = cv2.imread(str(tmp_path / "out_if" / "a.png"))
+    assert out_if is not None and out_if.shape == (64, 64, 3)
