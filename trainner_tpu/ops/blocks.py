@@ -302,7 +302,7 @@ class GaussianNoise(nn.Module):
         # remote-compile relay, not a behavior difference that matters)
         import os
 
-        if os.environ.get("TRAINNER_RBG_NOISE", "1") != "0":
+        if os.environ.get("TRAINNER_RBG_NOISE", "0") != "0":
             kd = jax.random.key_data(rng)
             rng = jax.random.wrap_key_data(
                 jnp.concatenate([kd, kd]).astype(jnp.uint32), impl="rbg")
