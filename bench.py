@@ -60,30 +60,56 @@ def bench_train(n_warmup: int = 3, n_iters: int = 20) -> dict:
 
 
 def _ensure_bench_corpus(root: str = "/tmp/trainner_bench_data",
-                         n: int = 96, size: int = 256) -> str:
-    """Synthetic HR image folder (textured, JPEG-encodable content) so the
-    e2e bench exercises the real decode path. Created once, reused."""
+                         size: int = 256) -> str:
+    """REAL-photo HR image folder for the e2e bench (round-4: replaces the
+    synthetic sinusoid corpus so decode/crop/degrade run on representative
+    content). Tiles are cut from the real photos shipped in-tree and in
+    installed packages (same sources as scripts/quality_corpus.py), padded
+    out with labmaze texture art (1024px, high-frequency detail). Created
+    once, reused."""
+    import glob
     import os
 
     import cv2
 
-    done = os.path.join(root, ".done")
+    done = os.path.join(root, ".done.v2")
     if os.path.exists(done):
         return root
     os.makedirs(root, exist_ok=True)
+    for old in glob.glob(os.path.join(root, "*.png")):
+        os.remove(old)
+    site = "/opt/venv/lib/python3.12/site-packages"
+    photos = [
+        "/root/reference/data_samples/samples/OST_013.png",
+        "/root/reference/codes/dataops/augmennt/cat.jpg",
+        f"{site}/sklearn/datasets/images/china.jpg",
+        f"{site}/sklearn/datasets/images/flower.jpg",
+        f"{site}/matplotlib/mpl-data/sample_data/grace_hopper.jpg",
+    ]
+    n = 0
+    for path in photos:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            continue
+        for yi in range(img.shape[0] // size):
+            for xi in range(img.shape[1] // size):
+                tile = img[yi * size:(yi + 1) * size,
+                           xi * size:(xi + 1) * size]
+                cv2.imwrite(os.path.join(root, f"img_{n:03d}.png"), tile)
+                n += 1
+    textures = sorted(glob.glob(f"{site}/labmaze/assets/*/*.png"))
     rng = np.random.default_rng(42)
-    yy, xx = np.mgrid[:size, :size].astype(np.float32)
-    for i in range(n):
-        f1, f2 = rng.uniform(0.02, 0.3, 2)
-        ph = rng.uniform(0, 6.28, 3)
-        base = np.stack([np.sin(f1 * xx + ph[c]) * np.cos(f2 * yy + ph[c])
-                         for c in range(3)], axis=-1)
-        tex = rng.random((size // 8, size // 8, 3)).repeat(8, 0).repeat(8, 1)
-        img = np.clip(127 + 90 * base + 40 * (tex - 0.5), 0,
-                      255).astype(np.uint8)
-        cv2.imwrite(os.path.join(root, f"img_{i:03d}.png"), img)
+    for idx in rng.permutation(len(textures))[: max(0, 64 - n)]:
+        img = cv2.imread(textures[idx], cv2.IMREAD_COLOR)
+        if img is None or img.shape[0] < size or img.shape[1] < size:
+            continue
+        y = rng.integers(0, img.shape[0] - size + 1)
+        x = rng.integers(0, img.shape[1] - size + 1)
+        cv2.imwrite(os.path.join(root, f"img_{n:03d}.png"),
+                    img[y:y + size, x:x + size])
+        n += 1
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(f"n={n}\n")
     return root
 
 
@@ -248,6 +274,39 @@ def _run_e2e_subprocess(timeout_s: int, shuffle: bool = False) -> dict:
                 "e2e_error": str(exc)[:200]}
 
 
+def _await_backend(max_wait_s: int = 900) -> bool:
+    """Round-3 failure mode: a transient axon-tunnel outage at driver run
+    time made jax.devices() raise at bench.py startup with NOTHING printed
+    (BENCH_r03: rc=1, parsed=null). Backend init failure is cached
+    in-process by jax, so the probe runs in fresh subprocesses with
+    bounded exponential backoff; only once one succeeds do we initialize
+    the in-process backend."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    delay = 15.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True, timeout=180)
+            if "ok" in (r.stdout or ""):
+                return True
+            err = (r.stderr or "").strip().splitlines()
+            _log(f"backend probe {attempt} failed: "
+                 f"{err[-1] if err else 'no output'}")
+        except Exception as exc:
+            _log(f"backend probe {attempt} error: {exc}")
+        if time.monotonic() + delay > deadline:
+            return False
+        time.sleep(delay)
+        delay = min(delay * 2, 120.0)
+
+
 def main() -> None:
     import sys
 
@@ -258,12 +317,34 @@ def main() -> None:
         shuffle = "--shuffle" in sys.argv
         print(json.dumps(bench_train_e2e(shuffle_degradations=shuffle)))
         return
-    n_dev = len(jax.devices())
-    _log("train (compute-only) ...")
-    train = bench_train()
-    _log(f"train done: {train['train_iters_per_sec']:.2f} it/s; infer ...")
-    infer = bench_infer()
-    _log(f"infer done: {infer['infer_mpx_per_sec']:.1f} Mpx/s")
+    try:
+        if not _await_backend(
+                int(os.environ.get("TRAINNER_BENCH_BACKEND_WAIT", 900))):
+            raise RuntimeError("backend unavailable after bounded retry")
+        n_dev = len(jax.devices())
+    except Exception as exc:
+        # The driver must ALWAYS receive a JSON line, even with no
+        # backend: report the outage instead of dying silently.
+        print(json.dumps({
+            "metric": "esrgan4x_train_iters_per_sec", "value": None,
+            "unit": "iters/sec (batch 32, 128px HR, 1 chip)",
+            "vs_baseline": None, "platform": None,
+            "error": f"backend init failed: {str(exc)[:300]}"}), flush=True)
+        return
+    try:
+        _log("train (compute-only) ...")
+        train = bench_train()
+        _log(f"train done: {train['train_iters_per_sec']:.2f} it/s; infer ...")
+        infer = bench_infer()
+        _log(f"infer done: {infer['infer_mpx_per_sec']:.1f} Mpx/s")
+    except Exception as exc:
+        print(json.dumps({
+            "metric": "esrgan4x_train_iters_per_sec", "value": None,
+            "unit": "iters/sec (batch 32, 128px HR, 1 chip)",
+            "vs_baseline": None, "n_devices": n_dev,
+            "platform": jax.devices()[0].platform,
+            "error": f"bench failed mid-run: {str(exc)[:300]}"}), flush=True)
+        return
     per_chip_baseline = 5.0  # 20 it/s on v5p-8 (4 chips)
     it_s = train["train_iters_per_sec"]
     result = {

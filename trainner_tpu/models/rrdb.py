@@ -117,11 +117,12 @@ def _rdb5c_fwd_impl(dt, nf, gc, x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5):
     # TPU backend fuses into the conv output (nn.leaky_relu's where+ge
     # lowered to standalone 769 GB/s elementwise loops, ~2.3 ms/step on
     # the nb=23 bench — see docs/performance.md round-3 trace).
-    # TRAINNER_FUSED_LRELU=0 restores nn.leaky_relu (compile-cache knob
-    # for the remote relay; bit-identical math either way)
+    # Default ON; TRAINNER_FUSED_LRELU=0 restores nn.leaky_relu
+    # (compile-cache knob for the remote relay; bit-identical math
+    # either way).
     import os
 
-    if os.environ.get("TRAINNER_FUSED_LRELU", "0") != "0":
+    if os.environ.get("TRAINNER_FUSED_LRELU", "1") != "0":
         lrelu = lambda v: jnp.maximum(v, v * jnp.asarray(0.2, v.dtype))
     else:
         lrelu = lambda v: nn.leaky_relu(v, 0.2)

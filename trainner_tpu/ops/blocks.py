@@ -297,13 +297,16 @@ class GaussianNoise(nn.Module):
         # normals for 23 RDB latents cost ~6 ms/step on the nb=23 bench
         # (round-3 trace); the noise is a regularizer, not a reproducible
         # stream, so the cheaper generator is statistically equivalent.
-        # TRAINNER_RBG_NOISE=0 restores the threefry path (same traced
-        # graph as earlier rounds — a compile-cache knob for the slow
-        # remote-compile relay, not a behavior difference that matters)
+        # Default ON; TRAINNER_RBG_NOISE=0 restores the threefry path
+        # (bit-reproduces the earlier-round traced graphs).
         import os
 
-        if os.environ.get("TRAINNER_RBG_NOISE", "0") != "0":
-            kd = jax.random.key_data(rng)
+        kd = jax.random.key_data(rng)
+        # rbg keys are 4 uint32 words; rebasing assumes a 2-word
+        # threefry source key. Under jax_default_prng_impl=rbg (or any
+        # wide-key impl) make_rng already hands us cheap keys — skip.
+        if (os.environ.get("TRAINNER_RBG_NOISE", "1") != "0"
+                and kd.shape[-1] == 2):
             rng = jax.random.wrap_key_data(
                 jnp.concatenate([kd, kd]).astype(jnp.uint32), impl="rbg")
         return x + scale * jax.random.normal(rng, x.shape, x.dtype)
