@@ -5,6 +5,7 @@ against jax.grad of the unfused ConvBlock path in float32."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from trainner_tpu.models.rrdb import ResidualDenseBlock5C
 
@@ -28,7 +29,9 @@ def _naive_params_from_fast(vfast):
     return vfast
 
 
-def test_rdb_custom_vjp_matches_autodiff():
+@pytest.mark.parametrize("bwd_mode", ["dual", "dualsq", "packed"])
+def test_rdb_custom_vjp_matches_autodiff(bwd_mode, monkeypatch):
+    monkeypatch.setenv("TRAINNER_RDB_BWD", bwd_mode)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((2, 12, 12, 16), np.float32) - 0.3)
     gt = jnp.asarray(rng.random((2, 12, 12, 16), np.float32))

@@ -41,16 +41,17 @@ def test_color_transfer_mean_std():
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "scripts"))
-    from color_transfer import transfer_mean_std, transfer_pdf
+    from color_transfer import color_transfer
 
     rng = np.random.default_rng(0)
     src = rng.random((32, 32, 3)).astype(np.float32) * 0.5
     tgt = rng.random((32, 32, 3)).astype(np.float32) * 0.5 + 0.5
-    out = transfer_mean_std(src, tgt, "rgb")
-    assert abs(out.mean() - tgt.mean()) < 0.02
-    out = transfer_pdf(src, tgt, n_iter=5)
+    # rgb stats transfer moves the target's stats onto the source's
+    out = color_transfer(src, tgt, "rgb")
+    assert abs(out.mean() - src.mean()) < 0.02
+    out = color_transfer(src, tgt, "pdf")
     # pdf transfer matches marginal distributions closely
-    assert abs(np.percentile(out, 50) - np.percentile(tgt, 50)) < 0.05
+    assert abs(np.percentile(out, 50) - np.percentile(src, 50)) < 0.05
 
 
 def test_diagnose_grads():

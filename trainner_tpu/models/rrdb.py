@@ -161,7 +161,34 @@ def _rdb5c_fused_fwd(dt, nf, gc, x, w1, b1, w2, b2, w3, b3, w4, b4,
     return out, (jnp.zeros((0,), x.dtype), *res, w1, w2, w3, w4, w5)
 
 
-def _rdb5c_fused_bwd(dt, nf, gc, res, g):
+def _dmask(c, dt):  # lrelu' from the activation sign (lrelu preserves it)
+    return jnp.where(c >= 0, jnp.asarray(1.0, dt), jnp.asarray(0.2, dt))
+
+
+def _dbias(da):
+    return jnp.sum(da.astype(jnp.float32), axis=(0, 1, 2))
+
+
+def _conv3_t(dy, w, dt):
+    """vjp of the stride-1 SAME 3x3 conv wrt its input: correlate the
+    cotangent with the spatially-flipped, IO-swapped kernel."""
+    return _conv3(dy, jnp.flip(w, (0, 1)).swapaxes(2, 3).astype(dt), dt)
+
+
+def _conv3_dw(xin, dy, w_shape, dt):
+    """vjp of the SAME 3x3 conv wrt its kernel (the conv is linear in the
+    kernel, so a zeros primal is fine; XLA DCEs the unused primal)."""
+    _, vjp = jax.vjp(lambda ww: _conv3(xin, ww, dt),
+                     jnp.zeros(w_shape, jnp.float32))
+    return vjp(dy.astype(dt))[0]
+
+
+def _bwd_packed(dt, nf, gc, res, g):
+    """Round-2 backward: per-stage joint conv-vjps against the packed
+    kernels. The cotangent concats ([da4|dc5], [da3|da4|dc5], ...) cost
+    ~36 MB of pure copies per RDB (563 GB/s elementwise in the round-3
+    trace) and the dx transposed-convs emit gc(=32)-wide outputs — a
+    quarter of the MXU's output lanes. Kept as the compat graph."""
     x_tok, x, c1, c2, c3, c4, w1, w2, w3, w4, w5 = res
     x_dtype = x_tok.dtype
     wx, w1p, w2p, w3p, w4p = _rdb_pack_kernels(w1, w2, w3, w4, w5, nf, gc)
@@ -172,30 +199,23 @@ def _rdb5c_fused_bwd(dt, nf, gc, res, g):
         _, vjp = jax.vjp(lambda cc, ww: _conv3(cc, ww, dt), c, w)
         return vjp(dy.astype(dt))
 
-    def dmask(c):  # lrelu' from the activation sign (lrelu preserves it)
-        return jnp.where(c >= 0, jnp.asarray(1.0, dt),
-                         jnp.asarray(0.2, dt))
-
-    def dbias(da):
-        return jnp.sum(da.astype(jnp.float32), axis=(0, 1, 2))
-
     g = g.astype(dt)
     dc5 = g * 0.2
-    db5 = dbias(dc5)
+    db5 = _dbias(dc5)
     # stage 4: q45 = conv(c4, w4p); preact4 grad needs dq45 = dc5
     dc4, dw4p = conv_vjp(c4, w4p, dc5)
-    da4 = dc4 * dmask(c4)
-    db4 = dbias(da4)
+    da4 = dc4 * _dmask(c4, dt)
+    db4 = _dbias(da4)
     # stage 3: q3 outputs [q34 (->c4 preact) | q35 (->c5)]
     dc3, dw3p = conv_vjp(c3, w3p, _cat([da4, dc5]))
-    da3 = dc3 * dmask(c3)
-    db3 = dbias(da3)
+    da3 = dc3 * _dmask(c3, dt)
+    db3 = _dbias(da3)
     dc2, dw2p = conv_vjp(c2, w2p, _cat([da3, da4, dc5]))
-    da2 = dc2 * dmask(c2)
-    db2 = dbias(da2)
+    da2 = dc2 * _dmask(c2, dt)
+    db2 = _dbias(da2)
     dc1, dw1p = conv_vjp(c1, w1p, _cat([da2, da3, da4, dc5]))
-    da1 = dc1 * dmask(c1)
-    db1 = dbias(da1)
+    da1 = dc1 * _dmask(c1, dt)
+    db1 = _dbias(da1)
     dxc, dwx = conv_vjp(x, wx, _cat([da1, da2, da3, da4, dc5]))
     dx = (dxc + g).astype(x_dtype)
 
@@ -213,6 +233,102 @@ def _rdb5c_fused_bwd(dt, nf, gc, res, g):
     dw5 = _cat([dwx[..., 4 * gc:], dw1p[..., 3 * gc:], dw2p[..., 2 * gc:],
                 dw3p[..., gc:], dw4p], axis=2)
     return (dx, dw1, db1, dw2, db2, dw3, db3, dw4, db4, dw5, db5)
+
+
+def _bwd_dual(dt, nf, gc, res, g, square_dw: bool):
+    """Round-4 backward, the dual ("scatter to past") form.
+
+    The forward packs per-stage so every conv output is wide; the dx
+    backward has the SAME structure run in reverse with the ORIGINAL
+    (unpacked) kernels: conv_t(da_k, W_k) emits every contribution of
+    cotangent k to ALL earlier stages at once —
+
+        T5 = conv_t(dc5, W5)   (nf+4gc wide = [dx|dc1|dc2|dc3|dc4])
+        T4 = conv_t(da4, W4)   (nf+3gc)
+        ... T1 = conv_t(da1, W1)  (nf)
+
+    so the dx transposed-convs emit 192/160/128/96/64-wide outputs
+    (vs 32-wide in the packed form) and need NO cotangent concats —
+    the per-stage sums are contiguous last-axis slices that fuse into
+    the following mask-multiply. This removes the ~4 ms/step repack the
+    round-3 trace measured AND lifts the dx GEMMs off the quarter-lane
+    MXU shapes.
+
+    dW: one cotangent canvas G = [da1|..|da4|dc5] is materialized; with
+    square_dw=False each packed per-stage dW correlates its activation
+    against a contiguous suffix slice of G (exact FLOPs); with
+    square_dw=True ONE full-square correlation corr([x|c1..c4], G)
+    computes all pairs in a single MXU-saturating contraction (~38%
+    discarded FLOPs, zero slice copies) — measured on hardware, see
+    scripts/bench_rdb_bwd.py."""
+    x_tok, x, c1, c2, c3, c4, w1, w2, w3, w4, w5 = res
+    x_dtype = x_tok.dtype
+
+    g = g.astype(dt)
+    dc5 = g * 0.2
+    db5 = _dbias(dc5)
+    t5 = _conv3_t(dc5, w5, dt)  # [dx | dc1 | dc2 | dc3 | dc4]
+    o1, o2, o3, o4 = nf, nf + gc, nf + 2 * gc, nf + 3 * gc
+    da4 = t5[..., o4:] * _dmask(c4, dt)
+    db4 = _dbias(da4)
+    t4 = _conv3_t(da4, w4, dt)  # [dx | dc1 | dc2 | dc3]
+    da3 = (t5[..., o3:o4] + t4[..., o3:]) * _dmask(c3, dt)
+    db3 = _dbias(da3)
+    t3 = _conv3_t(da3, w3, dt)
+    da2 = (t5[..., o2:o3] + t4[..., o2:o3] + t3[..., o2:]) \
+        * _dmask(c2, dt)
+    db2 = _dbias(da2)
+    t2 = _conv3_t(da2, w2, dt)
+    da1 = (t5[..., o1:o2] + t4[..., o1:o2] + t3[..., o1:o2]
+           + t2[..., o1:]) * _dmask(c1, dt)
+    db1 = _dbias(da1)
+    t1 = _conv3_t(da1, w1, dt)
+    dx = (t5[..., :nf] + t4[..., :nf] + t3[..., :nf] + t2[..., :nf]
+          + t1 + g).astype(x_dtype)
+
+    gw = 4 * gc + nf
+    G = _cat([da1, da2, da3, da4, dc5])
+    if square_dw:
+        P = _cat([x, c1, c2, c3, c4])
+        dwf = _conv3_dw(P, G, (3, 3, nf + 4 * gc, gw), dt)
+        dw1 = dwf[:, :, :nf, 0:gc]
+        dw2 = dwf[:, :, :nf + gc, gc:2 * gc]
+        dw3 = dwf[:, :, :nf + 2 * gc, 2 * gc:3 * gc]
+        dw4 = dwf[:, :, :nf + 3 * gc, 3 * gc:4 * gc]
+        dw5 = dwf[:, :, :, 4 * gc:]
+        return (dx, dw1, db1, dw2, db2, dw3, db3, dw4, db4, dw5, db5)
+    # exact-FLOPs path: packed per-stage dW against suffix slices of G
+    dwx = _conv3_dw(x, G, (3, 3, nf, gw), dt)
+    dw1p = _conv3_dw(c1, G[..., gc:], (3, 3, gc, gw - gc), dt)
+    dw2p = _conv3_dw(c2, G[..., 2 * gc:], (3, 3, gc, gw - 2 * gc), dt)
+    dw3p = _conv3_dw(c3, G[..., 3 * gc:], (3, 3, gc, gw - 3 * gc), dt)
+    dw4p = _conv3_dw(c4, dc5, (3, 3, gc, nf), dt)
+
+    def seg(dwp, i):
+        return dwp[..., i * gc:(i + 1) * gc]
+
+    dw1 = dwx[..., 0:gc]
+    dw2 = _cat([dwx[..., gc:2 * gc], seg(dw1p, 0)], axis=2)
+    dw3 = _cat([dwx[..., 2 * gc:3 * gc], seg(dw1p, 1), seg(dw2p, 0)],
+               axis=2)
+    dw4 = _cat([dwx[..., 3 * gc:4 * gc], seg(dw1p, 2), seg(dw2p, 1),
+                seg(dw3p, 0)], axis=2)
+    dw5 = _cat([dwx[..., 4 * gc:], dw1p[..., 3 * gc:], dw2p[..., 2 * gc:],
+                dw3p[..., gc:], dw4p], axis=2)
+    return (dx, dw1, db1, dw2, db2, dw3, db3, dw4, db4, dw5, db5)
+
+
+def _rdb5c_fused_bwd(dt, nf, gc, res, g):
+    # TRAINNER_RDB_BWD selects the backward graph: "dual" (default,
+    # round-4 scatter-to-past), "dualsq" (dual dx + full-square dW),
+    # "packed" (round-2/3 graph). All three are exact rearrangements of
+    # the same math (tests/test_rdb_custom_vjp.py gates each).
+    import os
+
+    mode = os.environ.get("TRAINNER_RDB_BWD", "dual")
+    if mode == "packed":
+        return _bwd_packed(dt, nf, gc, res, g)
+    return _bwd_dual(dt, nf, gc, res, g, square_dw=(mode == "dualsq"))
 
 
 rdb5c_fused.defvjp(_rdb5c_fused_fwd, _rdb5c_fused_bwd)
