@@ -92,3 +92,20 @@ def test_pallas_blur_identity_kernel():
     ident = jnp.zeros((2, 5, 5)).at[:, 2, 2].set(1.0)
     out = blur_per_sample_pallas(x, ident, interpret=True)
     assert np.allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_pallas_blur_guarded_on_tpu(monkeypatch):
+    """The compiled blur kernel is known-wrong on real TPUs (Mosaic
+    miscompute, module docstring): compiling it for a TPU backend must
+    hard-error unless the debug escape hatch is set."""
+    import pytest
+
+    monkeypatch.delenv("TRAINNER_PALLAS_BLUR_UNSAFE", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    x = jax.random.uniform(RNG, (2, 16, 16, 3))
+    ident = jnp.zeros((2, 5, 5)).at[:, 2, 2].set(1.0)
+    with pytest.raises(RuntimeError, match="miscomputes"):
+        blur_per_sample_pallas(x, ident, interpret=False)
+    # interpret mode stays allowed (verified == XLA)
+    out = blur_per_sample_pallas(x, ident, interpret=True)
+    assert out.shape == x.shape

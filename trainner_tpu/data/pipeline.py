@@ -984,6 +984,13 @@ class BatchDegrader:
         intermediate size and the final snap attenuates, _atten_factor)
         and the plain variant in the HR phase (the real downscale
         attenuates naturally).
+
+        Cost note: every slot evaluates every stage's candidate, so the
+        per-step device cost grows QUADRATICALLY with the stage count
+        (2*m^2 stage executions per batch) versus the per-batch order
+        approximation — inherent to the static-shape slot-select
+        design. bench.py reports this path separately as
+        e2e_shuffled_iters_per_sec.
         """
         boundary = next((i for i, (n, _) in enumerate(self.stages)
                          if n == "resize"), None)
@@ -1003,7 +1010,11 @@ class BatchDegrader:
             if isinstance(fn, dict):
                 return fn["att" if att else "no"]
             if att and att_cfg is not None and name == "blur":
-                return _att_wrap(fn, att_cfg, square=True)
+                # linear attenuation, matching the blur2 calibration
+                # (ref resrgan blur2-only 33.4 dB sits between no-att
+                # 29.9 and v^2 36.4 — the snap's own kernel re-blurs
+                # part of what the shrink removes; see __init__)
+                return _att_wrap(fn, att_cfg, square=False)
             return fn
 
         def phase_exec(rng, x, order, count, att: bool, att_pair=None):

@@ -469,7 +469,24 @@ def blur_per_sample_pallas(x: jnp.ndarray, kernels: jnp.ndarray,
     """Per-sample blur: x (b, h, w, c), kernels (b, k, k) -> (b, h, w, c).
 
     Matches ops/degradations.apply_kernels (reflect padding).
+
+    GUARDED on TPU: the compiled kernel is KNOWN-WRONG on real hardware
+    (err ~0.3 vs interpret/XLA; Mosaic bisection in the module
+    docstring) and the XLA grouped-conv path is faster anyway — so
+    compiling it onto a chip raises unless
+    TRAINNER_PALLAS_BLUR_UNSAFE=1 (Mosaic-debugging escape hatch).
+    interpret=True (verified == XLA) is always allowed.
     """
+    import os
+
+    if (not interpret and jax.default_backend() == "tpu"
+            and os.environ.get("TRAINNER_PALLAS_BLUR_UNSAFE") != "1"):
+        raise RuntimeError(
+            "blur_per_sample_pallas miscomputes when COMPILED on TPU "
+            "(known Mosaic issue, see ops/pallas_kernels.py docstring). "
+            "Use ops.degradations.apply_kernels (the faster production "
+            "path), interpret=True, or set TRAINNER_PALLAS_BLUR_UNSAFE=1 "
+            "to debug the Mosaic repro.")
     b, h, w, c = x.shape
     k = kernels.shape[-1]
     pad = k // 2
