@@ -112,3 +112,49 @@ def test_batch_sharding_layout():
     x = jax.device_put(np.zeros((8, 4, 4, 3), np.float32), sh)
     assert len(x.addressable_shards) == 8
     assert x.addressable_shards[0].data.shape == (1, 4, 4, 3)
+
+
+def test_sharded_checkpoint_resume_bitwise(tmp_path):
+    """Checkpoint/resume under the data x fsdp mesh, end-to-end: run 2
+    sharded GAN steps, save, continue 2 more; restore the checkpoint
+    into a freshly-sharded state, replay the same 2 steps, and match the
+    uninterrupted run BITWISE (the one distributed path round 3 left
+    ungated)."""
+    from trainner_tpu.utils.checkpoint import load_state, save_state
+
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    tr = _trainer(mesh=mesh)
+
+    def sharded_init():
+        s = tr.init_state(jax.random.PRNGKey(0), (8, 8, 8, 3))
+        sh = param_sharding(s, mesh)
+        return jax.tree.map(jax.device_put, s, sh), sh
+
+    def batch(i):
+        r = np.random.default_rng(100 + i)
+        return shard_batch({"LR": r.random((8, 8, 8, 3), np.float32),
+                            "HR": r.random((8, 16, 16, 3), np.float32)},
+                           mesh)
+
+    state, shardings = sharded_init()
+    for i in range(2):
+        state, _ = tr.train_step(state, batch(i))
+    path = str(tmp_path / "2.state")
+    save_state(state, path, epoch=1)
+
+    ref = state
+    for i in range(2, 4):
+        ref, _ = tr.train_step(ref, batch(i))
+
+    fresh, _ = sharded_init()
+    restored, meta = load_state(path, fresh)
+    assert meta["iter"] == 2 and meta["epoch"] == 1
+    restored = jax.tree.map(jax.device_put, restored, shardings)
+    for i in range(2, 4):
+        restored, _ = tr.train_step(restored, batch(i))
+
+    ref_leaves = jax.tree.leaves(ref)
+    res_leaves = jax.tree.leaves(restored)
+    assert len(ref_leaves) == len(res_leaves)
+    for a, b in zip(ref_leaves, res_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
