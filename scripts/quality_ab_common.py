@@ -29,9 +29,12 @@ LR_SCHED = {int(k): float(v) for k, v in
             (kv.split(":") for kv in os.environ["QA_SCHED"].split(","))} \
     if os.environ.get("QA_SCHED") else {2000: 0.5, 2750: 0.5}
 BASE_LR = 2e-4
+# round-4 default: v2 corpus (IMAGE-disjoint val — long schedules
+# measure generalization, not memorization); QA_CORPUS overrides
+CORPUS = os.environ.get("QA_CORPUS", "/tmp/qa_corpus_v2")
 
 
-def load_train_images(root: str = "/tmp/qa_corpus") -> list:
+def load_train_images(root: str = CORPUS) -> list:
     imgs = []
     for p in sorted(glob.glob(os.path.join(root, "train_hr", "*.png"))):
         im = cv2.imread(p, cv2.IMREAD_COLOR)  # BGR uint8
@@ -41,7 +44,7 @@ def load_train_images(root: str = "/tmp/qa_corpus") -> list:
     return imgs
 
 
-def load_val_pairs(root: str = "/tmp/qa_corpus") -> list:
+def load_val_pairs(root: str = CORPUS) -> list:
     pairs = []
     for hp in sorted(glob.glob(os.path.join(root, "val_hr", "*.png"))):
         lp = os.path.join(root, "val_lr", os.path.basename(hp))

@@ -54,11 +54,28 @@ def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False) -> None:
     imgs = C.load_train_images()
     val = C.load_val_pairs()
     stream = C.crop_stream(imgs, seed=0)
+
+    # checkpoint/resume (round-3: a TPU-tunnel outage killed the 10k run
+    # mid-flight; the torch side already resumes — mirror it)
+    from flax import serialization
+
+    ckpt_path = out_path + ".ckpt"
+    start_step = 0
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path, "rb") as f:
+            blob = f.read()
+        start_step = int.from_bytes(blob[:8], "little")
+        state = serialization.from_bytes(state, blob[8:])
+        for _ in range(start_step):  # deterministic stream fast-forward
+            next(stream)
+
     log = C.CurveLog(out_path, {
         "side": f"trainner-tpu-{'f32' if f32 else 'bf16'}",
         "batch": C.BATCH, "crop": C.CROP, "niter": C.NITER,
         "base_lr": C.BASE_LR, "sched": C.LR_SCHED,
-        "platform": jax.devices()[0].platform})
+        "resumed_from": start_step,
+        "platform": jax.devices()[0].platform},
+        append=start_step > 0)
 
     val_lr = jnp.asarray(np.stack(
         [p[0].astype(np.float32) / 255.0 for p in val]))
@@ -69,7 +86,7 @@ def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False) -> None:
             C.psnr_rgb(C.to_uint8(sr[i]), val[i][1])
             for i in range(len(val))]))
 
-    for step in range(1, C.NITER + 1):
+    for step in range(start_step + 1, C.NITER + 1):
         hr_u8 = next(stream)
         hr = hr_u8.astype(np.float32) / 255.0
         lr = np.stack([imresize_np(h, 1.0 / C.SCALE, kernel="cubic")
@@ -80,6 +97,11 @@ def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False) -> None:
             log.log(step, loss=round(float(logs["l_g_total"]), 5))
         if step % C.VAL_FREQ == 0 or step == C.NITER:
             log.log(step, val_psnr=round(validate(state), 4))
+            host = jax.tree.map(np.asarray, state)
+            with open(ckpt_path + ".tmp", "wb") as f:
+                f.write(step.to_bytes(8, "little"))
+                f.write(serialization.to_bytes(host))
+            os.replace(ckpt_path + ".tmp", ckpt_path)
 
 
 if __name__ == "__main__":
