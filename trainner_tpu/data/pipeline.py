@@ -412,6 +412,26 @@ def _noise_stage(types: Sequence[str], cfgs: Dict[str, dict],
         if t in ("jpeg", "webp"):
             qr = (float(cfg.get("min_quality", 30)),
                   float(cfg.get("max_quality", 95)))
+            # webp: REAL codec via host callback by default (VP8 4x4
+            # transform + loop filter != 8x8 DCT artifacts; the DCT
+            # approximation only stands in for jpeg). Opt out with
+            # TRAINNER_DEVICE_WEBP=approx (pure-device graph, e.g. on
+            # multi-host meshes where the callback gather costs). Falls
+            # back to the approximation when the backend cannot run
+            # host callbacks at all (the axon PJRT relay).
+            import os as _os
+
+            if (t == "webp" and _os.environ.get(
+                    "TRAINNER_DEVICE_WEBP", "exact") != "approx"):
+                if D.host_callbacks_supported():
+                    return partial(D.codec_compress_host, fmt="webp",
+                                   quality_range=qr)
+                import logging
+
+                logging.getLogger("base").warning(
+                    "backend does not support host callbacks; "
+                    "`compression: webp` falls back to the DCT "
+                    "approximation (real-codec path needs pure_callback)")
             return partial(D.jpeg_compress, quality_range=qr)
         if t == "poisson":
             sr = cfg.get("scale_range") or [0.5, 3.0]
