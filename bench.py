@@ -55,8 +55,23 @@ def bench_train(n_warmup: int = 3, n_iters: int = 20) -> dict:
         state, logs = trainer.train_step(state, batch)
     float(logs["l_g_total"])
     dt = time.perf_counter() - t0
-    return {"train_iters_per_sec": n_iters / dt,
-            "train_batch": batch_size, "train_hr_px": lr_px * 4}
+    out = {"train_iters_per_sec": n_iters / dt,
+           "train_batch": batch_size, "train_hr_px": lr_px * 4}
+    # scanned window (trainer.train_steps): k steps per dispatch —
+    # amortizes the host->device dispatch latency of per-step calls
+    # (matters through remote runtimes); same math, gated in
+    # tests/test_sr_trainer_features.py
+    k = 10
+    sbatch = {n: jnp.broadcast_to(v, (k,) + v.shape) for n, v in
+              batch.items()}
+    state, logs = trainer.train_steps(state, sbatch)  # warm/compile
+    float(logs["l_g_total"][-1])
+    t0 = time.perf_counter()
+    for _ in range(2):
+        state, logs = trainer.train_steps(state, sbatch)
+    float(logs["l_g_total"][-1])
+    out["train_scan_iters_per_sec"] = 2 * k / (time.perf_counter() - t0)
+    return out
 
 
 def _ensure_bench_corpus(root: str = "/tmp/trainner_bench_data",
@@ -353,6 +368,8 @@ def main() -> None:
         "unit": "iters/sec (batch 32, 128px HR, 1 chip)",
         "vs_baseline": round(it_s / (per_chip_baseline * max(n_dev, 1)), 3),
         "e2e_iters_per_sec": None,
+        "train_scan_iters_per_sec": round(
+            train.get("train_scan_iters_per_sec") or 0, 3) or None,
         "infer_mpx_per_sec_chip": round(infer["infer_mpx_per_sec"], 2),
         "infer_batch": 16,
         "n_devices": n_dev,

@@ -272,3 +272,92 @@ def test_auto_grad_clip_trains():
     assert int(state.grad_hist["n"]) == 1
     state, logs = tr.train_step(state, batch)
     assert int(state.grad_hist["n"]) == 2
+
+
+def test_train_steps_scan_matches_sequential():
+    """train_steps (one scanned dispatch) must reproduce k sequential
+    train_step calls — including a MultiStep LR boundary INSIDE the
+    scanned window — on both a plain and a GAN trainer. Tolerance: the
+    scan body compiles as a different program than the standalone step,
+    so float reassociation can flip the SIGN of numerically-zero
+    gradient elements — and Adam's first steps turn a sign flip into a
+    full +-lr move (measured: identical losses, G params equal to 1e-8
+    at k=1, two D elements off by exactly 2*lr). Non-GAN parity is
+    near-bitwise; GAN parity is bounded by a few lr-scale elements."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trainner_tpu.train.sr_trainer import SRTrainer
+
+    def mk(gan):
+        opt = {"is_train": True, "scale": 2,
+               "network_G": {"type": "sr_resnet", "nf": 8, "nb": 1,
+                             "upscale": 2},
+               "train": {"lr_G": 1e-3, "pixel_criterion": "l1",
+                         "pixel_weight": 1.0, "lr_scheme": "MultiStepLR",
+                         "lr_steps": [2], "lr_gamma": 0.5}}
+        if gan:
+            opt["network_D"] = {"type": "discriminator_vgg", "size": 16,
+                                "base_nf": 8}
+            opt["train"].update({"lr_D": 1e-3, "gan_type": "vanilla",
+                                 "gan_weight": 5e-3})
+        return SRTrainer(opt, dtype=jnp.float32)
+
+    r = np.random.default_rng(0)
+    k = 4
+    batches = {"LR": jnp.asarray(r.random((k, 2, 8, 8, 3), np.float32)),
+               "HR": jnp.asarray(r.random((k, 2, 16, 16, 3), np.float32))}
+
+    for gan in (False, True):
+        tr1 = mk(gan)
+        s1 = tr1.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+        for i in range(k):
+            s1, logs1 = tr1.train_step(
+                s1, jax.tree.map(lambda v: v[i], batches))
+
+        tr2 = mk(gan)
+        assert tr2.can_scan_steps()
+        s2 = tr2.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+        s2, logs2 = tr2.train_steps(s2, batches)
+
+        assert jax.tree.leaves(logs2)[0].shape[0] == k
+        assert int(s2.step) == int(s1.step) == k
+        assert tr2._host_step == k
+        for a, b in zip(jax.tree.leaves(s1.g.params),
+                        jax.tree.leaves(s2.g.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0,
+                                       atol=(2e-4 if gan else 1e-6))
+        # the last scanned log row matches the last sequential step
+        np.testing.assert_allclose(
+            float(logs2["l_g_total"][-1]), float(logs1["l_g_total"]),
+            rtol=1e-5)
+
+
+def test_train_steps_fallback_when_unsupported():
+    """SWA windows cross a host-side transition -> train_steps falls
+    back to sequential calls with identical results."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trainner_tpu.train.sr_trainer import SRTrainer
+
+    opt = {"is_train": True, "scale": 2,
+           "network_G": {"type": "sr_resnet", "nf": 8, "nb": 1,
+                         "upscale": 2},
+           "train": {"lr_G": 1e-3, "pixel_criterion": "l1",
+                     "pixel_weight": 1.0, "lr_scheme": "MultiStepLR",
+                     "lr_steps": [100], "swa_start_iter": 0},
+           "use_swa": True}
+    tr = SRTrainer(opt, dtype=jnp.float32)
+    assert not tr.can_scan_steps()
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    r = np.random.default_rng(1)
+    batches = {"LR": jnp.asarray(r.random((3, 2, 8, 8, 3), np.float32)),
+               "HR": jnp.asarray(r.random((3, 2, 16, 16, 3), np.float32))}
+    state, logs = tr.train_steps(state, batches)
+    assert int(state.step) == 3
+    assert state.swa_params is not None
+    assert jax.tree.leaves(logs)[0].shape[0] == 3

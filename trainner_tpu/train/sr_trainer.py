@@ -553,6 +553,71 @@ class SRTrainer:
             state = swa_update(state)
         return state, logs
 
+    def can_scan_steps(self) -> bool:
+        """True when a multi-step window is expressible as one compiled
+        scan: no host-side schedule transitions inside the window (SWA
+        averaging, ATG activation, D-ratio G-step gating)."""
+        return not (self.use_swa or self.use_atg
+                    or (self.use_gan and (self.d_update_ratio != 1
+                                          or self.d_init_iters > 0)))
+
+    def train_steps(self, state: SRTrainState, batches: Dict[str, Any]
+                    ) -> Tuple[SRTrainState, Dict[str, jnp.ndarray]]:
+        """Run k optimization steps in ONE jitted `lax.scan` dispatch.
+
+        TPU-first amortization: on remote/high-latency runtimes every
+        `train_step` call pays a host->device dispatch round-trip; a
+        scanned window pays it once per k steps. Identical math to k
+        sequential `train_step` calls — gated bitwise in
+        tests/test_sr_trainer_features.py.
+
+        `batches`: dict of arrays with a leading (k, ...) step axis.
+        Per-step learning rates come in as scanned arrays so MultiStep
+        boundaries inside the window are exact. Returns (state, logs)
+        with every log stacked to shape (k,). Falls back to sequential
+        `train_step` calls when the window crosses a host-side schedule
+        transition (`can_scan_steps`)."""
+        k = int(jax.tree.leaves(batches)[0].shape[0])
+        if getattr(self, "_host_step", None) is None:
+            self._host_step = int(state.step)
+        if not self.can_scan_steps():
+            out = []
+            for i in range(k):
+                state, logs = self.train_step(
+                    state, jax.tree.map(lambda v: v[i], batches))
+                out.append(logs)
+            return state, jax.tree.map(lambda *xs: jnp.stack(xs), *out)
+        step0 = self._host_step
+        lr_g = jnp.asarray([self.schedG.get_lr(step0 + i)
+                            for i in range(k)], jnp.float32)
+        lr_d = jnp.asarray([self.schedD.get_lr(step0 + i) if self.schedD
+                            else 0.0 for i in range(k)], jnp.float32)
+        self._host_step += k
+        key = ("scan", self.use_gan, k)
+        if key not in self._jit_cache:
+            fn = functools.partial(self._train_step,
+                                   update_d=self.use_gan, update_g=True,
+                                   atg_on=False)
+
+            def scan_fn(st, bat, lg, ld):
+                def body(carry, xs):
+                    b, g, d = xs
+                    return fn(carry, b, g, d)
+
+                return jax.lax.scan(body, st, (bat, lg, ld))
+
+            if self.mesh is not None:
+                bsh = batch_sharding(self.mesh)
+                ssh = NamedSharding(self.mesh, P(None, *bsh.spec))
+                self._jit_cache[key] = jax.jit(
+                    scan_fn,
+                    in_shardings=(None, {"LR": ssh, "HR": ssh},
+                                  None, None),
+                    donate_argnums=(0,))
+            else:
+                self._jit_cache[key] = jax.jit(scan_fn, donate_argnums=(0,))
+        return self._jit_cache[key](state, batches, lr_g, lr_d)
+
     # ------------------------------------------------------------------
     # eval
     # ------------------------------------------------------------------
