@@ -158,3 +158,21 @@ def test_sharded_checkpoint_resume_bitwise(tmp_path):
     assert len(ref_leaves) == len(res_leaves)
     for a, b in zip(ref_leaves, res_leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_steps_scan_on_mesh():
+    """The scanned multi-step dispatch under the data x fsdp mesh:
+    batches carry a leading (k,) step axis sharded only on 'data'."""
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    tr = _trainer(mesh=mesh)
+    assert tr.can_scan_steps()
+    state = tr.init_state(jax.random.PRNGKey(0), (8, 8, 8, 3))
+    state = jax.tree.map(jax.device_put, state, param_sharding(state, mesh))
+    r = np.random.default_rng(5)
+    k = 3
+    batches = {"LR": jnp.asarray(r.random((k, 8, 8, 8, 3), np.float32)),
+               "HR": jnp.asarray(r.random((k, 8, 16, 16, 3), np.float32))}
+    state, logs = tr.train_steps(state, batches)
+    assert int(state.step) == k
+    assert jax.tree.leaves(logs)[0].shape[0] == k
+    assert np.isfinite(float(logs["l_g_total"][-1]))
