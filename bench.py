@@ -93,14 +93,14 @@ def _ensure_bench_corpus(root: str = "/tmp/trainner_bench_data",
     os.makedirs(root, exist_ok=True)
     for old in glob.glob(os.path.join(root, "*.png")):
         os.remove(old)
-    site = "/opt/venv/lib/python3.12/site-packages"
-    photos = [
-        "/root/reference/data_samples/samples/OST_013.png",
-        "/root/reference/codes/dataops/augmennt/cat.jpg",
-        f"{site}/sklearn/datasets/images/china.jpg",
-        f"{site}/sklearn/datasets/images/flower.jpg",
-        f"{site}/matplotlib/mpl-data/sample_data/grace_hopper.jpg",
-    ]
+    # single source of truth for the photo list / site path
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import quality_corpus as QC
+
+    photos = list(dict(QC.NATURAL, **QC.V2_EXTRA_TRAIN).values())
     n = 0
     for path in photos:
         img = cv2.imread(path, cv2.IMREAD_COLOR)
@@ -112,7 +112,7 @@ def _ensure_bench_corpus(root: str = "/tmp/trainner_bench_data",
                            xi * size:(xi + 1) * size]
                 cv2.imwrite(os.path.join(root, f"img_{n:03d}.png"), tile)
                 n += 1
-    textures = sorted(glob.glob(f"{site}/labmaze/assets/*/*.png"))
+    textures = sorted(glob.glob(f"{QC.SITE}/labmaze/assets/*/*.png"))
     rng = np.random.default_rng(42)
     for idx in rng.permutation(len(textures))[: max(0, 64 - n)]:
         img = cv2.imread(textures[idx], cv2.IMREAD_COLOR)
@@ -123,6 +123,11 @@ def _ensure_bench_corpus(root: str = "/tmp/trainner_bench_data",
         cv2.imwrite(os.path.join(root, f"img_{n:03d}.png"),
                     img[y:y + size, x:x + size])
         n += 1
+    if n == 0:
+        raise RuntimeError(
+            f"bench corpus: no source images found (checked {len(photos)} "
+            f"photos + labmaze under {QC.SITE}) — refusing to cache an "
+            "empty corpus")
     with open(done, "w") as f:
         f.write(f"n={n}\n")
     return root

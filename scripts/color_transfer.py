@@ -363,7 +363,13 @@ _ALGOS = {
 
 
 def color_transfer(src, tgt, algo="lab"):
-    """Float [0,1] RGB convenience wrapper (in-framework callers)."""
+    """Float [0,1] RGB convenience wrapper (in-framework callers).
+
+    DIRECTION (round 4, aligned with the reference CLI): `src` is the
+    REFERENCE image the colors come from, `tgt` is the image being
+    recolored — the output is `tgt` carrying `src`'s color statistics.
+    (Rounds 1-3 had the opposite direction; callers written against the
+    old semantics must swap arguments.)"""
     s8 = np.clip(np.round(np.asarray(src)[..., ::-1] * 255), 0,
                  255).astype(np.uint8)
     t8 = np.clip(np.round(np.asarray(tgt)[..., ::-1] * 255), 0,

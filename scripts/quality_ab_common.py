@@ -54,11 +54,23 @@ def load_val_pairs(root: str = CORPUS) -> list:
     return pairs
 
 
-def crop_stream(imgs: list, seed: int = 0):
+def crop_stream(imgs: list, seed: int = 0, skip: int = 0):
     """Deterministic HR-crop batch generator: uniform image pick, uniform
     crop offset, random flip/rot90 (paired augment semantics, ref
-    dataops/common.py:410). Yields uint8 (B, CROP, CROP, 3) BGR."""
+    dataops/common.py:410). Yields uint8 (B, CROP, CROP, 3) BGR.
+
+    skip: fast-forward that many batches by replaying ONLY the RNG draw
+    sequence (no crops materialized) — exact resume positioning at
+    negligible cost (the draws per sample are: image pick, y, x, flip
+    coin, rot count; the crop/flip/rot array ops consume no RNG)."""
     rng = np.random.default_rng(seed)
+    for _ in range(skip):
+        for _ in range(BATCH):
+            i = int(rng.integers(len(imgs)))
+            rng.integers(imgs[i].shape[0] - CROP + 1)
+            rng.integers(imgs[i].shape[1] - CROP + 1)
+            rng.random()
+            rng.integers(4)
     while True:
         out = np.empty((BATCH, CROP, CROP, 3), np.uint8)
         for b in range(BATCH):
@@ -95,6 +107,24 @@ def psnr_rgb(sr: np.ndarray, hr: np.ndarray, shave: int = SCALE) -> float:
 
 def to_uint8(img01: np.ndarray) -> np.ndarray:
     return np.clip(np.round(img01 * 255.0), 0, 255).astype(np.uint8)
+
+
+def truncate_curve(path: str, max_step: int) -> None:
+    """Drop curve rows logged AFTER the checkpoint being resumed from,
+    so a crash-between-checkpoint-and-now cannot leave duplicate step
+    entries when the rows are re-appended."""
+    if not os.path.exists(path):
+        return
+    kept = []
+    for ln in open(path):
+        try:
+            rec = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if "meta" in rec or rec.get("step", 0) <= max_step:
+            kept.append(ln)
+    with open(path, "w") as f:
+        f.writelines(kept)
 
 
 class CurveLog:

@@ -66,8 +66,10 @@ def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False) -> None:
             blob = f.read()
         start_step = int.from_bytes(blob[:8], "little")
         state = serialization.from_bytes(state, blob[8:])
-        for _ in range(start_step):  # deterministic stream fast-forward
-            next(stream)
+        # exact RNG repositioning without materializing crops
+        stream = C.crop_stream(imgs, seed=0, skip=start_step)
+        # drop rows logged after the checkpoint (duplicate-step guard)
+        C.truncate_curve(out_path, start_step)
 
     log = C.CurveLog(out_path, {
         "side": f"trainner-tpu-{'f32' if f32 else 'bf16'}",

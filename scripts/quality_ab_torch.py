@@ -78,8 +78,10 @@ def main(out_path: str = "/tmp/qa_torch.jsonl") -> None:
         net.load_state_dict(ck["net"])
         opt.load_state_dict(ck["opt"])
         start_step = int(ck["step"])
-        for _ in range(start_step):  # deterministic stream fast-forward
-            next(stream)
+        # exact RNG repositioning without materializing crops
+        stream = C.crop_stream(imgs, seed=0, skip=start_step)
+        # drop rows logged after the checkpoint (duplicate-step guard)
+        C.truncate_curve(out_path, start_step)
 
     log = C.CurveLog(out_path, {
         "side": "torch-reference", "batch": C.BATCH, "crop": C.CROP,

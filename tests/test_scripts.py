@@ -178,3 +178,45 @@ def test_back_projection_improves_lr_consistency(tmp_path, monkeypatch):
                  "--iters", "5"], monkeypatch)
     out_if = cv2.imread(str(tmp_path / "out_if" / "a.png"))
     assert out_if is not None and out_if.shape == (64, 64, 3)
+
+
+def test_crop_stream_skip_matches_materialized():
+    """crop_stream(skip=k) must land on exactly the same batch as
+    materializing and discarding k batches (resume positioning)."""
+    import sys, os
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import quality_ab_common as C
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (C.CROP + 40 + i, C.CROP + 60 + i, 3),
+                         np.uint8) for i in range(3)]
+    s1 = C.crop_stream(imgs, seed=7)
+    for _ in range(5):
+        next(s1)
+    want = next(s1)
+    s2 = C.crop_stream(imgs, seed=7, skip=5)
+    got = next(s2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_truncate_curve_drops_post_checkpoint_rows(tmp_path):
+    import json
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import quality_ab_common as C
+
+    p = str(tmp_path / "c.jsonl")
+    rows = [{"meta": {"side": "x"}}, {"step": 100, "loss": 1.0},
+            {"step": 250, "val_psnr": 20.0}, {"step": 300, "loss": 0.9}]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    C.truncate_curve(p, 250)
+    left = [json.loads(ln) for ln in open(p)]
+    assert len(left) == 3
+    assert left[-1]["step"] == 250

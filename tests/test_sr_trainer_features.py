@@ -361,3 +361,35 @@ def test_train_steps_fallback_when_unsupported():
     assert int(state.step) == 3
     assert state.swa_params is not None
     assert jax.tree.leaves(logs)[0].shape[0] == 3
+
+
+def test_train_steps_fallback_heterogeneous_logs():
+    """D_update_ratio=2 makes some steps skip the G update, so per-step
+    log dicts have different keys — the fallback must stack over the
+    key union (NaN where absent) instead of crashing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trainner_tpu.train.sr_trainer import SRTrainer
+
+    opt = {"is_train": True, "scale": 2,
+           "network_G": {"type": "sr_resnet", "nf": 8, "nb": 1,
+                         "upscale": 2},
+           "network_D": {"type": "discriminator_vgg", "size": 16,
+                         "base_nf": 8},
+           "train": {"lr_G": 1e-3, "lr_D": 1e-3, "pixel_criterion": "l1",
+                     "pixel_weight": 1.0, "gan_type": "vanilla",
+                     "gan_weight": 5e-3, "lr_scheme": "MultiStepLR",
+                     "lr_steps": [100], "D_update_ratio": 2}}
+    tr = SRTrainer(opt, dtype=jnp.float32)
+    assert not tr.can_scan_steps()
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    r = np.random.default_rng(2)
+    batches = {"LR": jnp.asarray(r.random((3, 2, 8, 8, 3), np.float32)),
+               "HR": jnp.asarray(r.random((3, 2, 16, 16, 3), np.float32))}
+    state, logs = tr.train_steps(state, batches)
+    assert int(state.step) == 3
+    assert logs["l_g_total"].shape == (3,)
+    vals = np.asarray(logs["l_g_total"])
+    assert np.isfinite(vals).any() and np.isnan(vals).any()

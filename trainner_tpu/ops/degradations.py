@@ -361,9 +361,16 @@ _HOST_CALLBACKS_OK: Optional[bool] = None
 
 
 def host_callbacks_supported() -> bool:
-    """One-time probe: does the active backend support jitted host
-    callbacks? (The axon PJRT relay rejects send/recv callbacks with
-    UNIMPLEMENTED; standard TPU/CPU/GPU backends support them.)"""
+    """Probe: does the active backend support jitted host callbacks?
+    (The axon PJRT relay rejects send/recv callbacks with UNIMPLEMENTED;
+    standard TPU/CPU/GPU backends support them.)
+
+    Caching: a verdict is only latched when it is definitive — success,
+    or a genuine UNIMPLEMENTED/unsupported error. A transient failure
+    (tunnel outage, UNAVAILABLE) returns False for THIS call but leaves
+    the cache unset, so the next pipeline build re-probes after the
+    backend recovers instead of silently downgrading webp to the DCT
+    approximation for the process lifetime."""
     global _HOST_CALLBACKS_OK
     if _HOST_CALLBACKS_OK is None:
         try:
@@ -371,8 +378,12 @@ def host_callbacks_supported() -> bool:
                 lambda z: z, jax.ShapeDtypeStruct((), jnp.float32), v))(
                     jnp.float32(1.0))
             _HOST_CALLBACKS_OK = bool(float(out) == 1.0)
-        except Exception:
-            _HOST_CALLBACKS_OK = False
+        except Exception as exc:
+            msg = str(exc).upper()
+            if "UNIMPLEMENTED" in msg or "NOT SUPPORT" in msg:
+                _HOST_CALLBACKS_OK = False
+            else:
+                return False  # transient: do not latch
     return _HOST_CALLBACKS_OK
 
 

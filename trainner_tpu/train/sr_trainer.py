@@ -586,13 +586,19 @@ class SRTrainer:
                 state, logs = self.train_step(
                     state, jax.tree.map(lambda v: v[i], batches))
                 out.append(logs)
-            return state, jax.tree.map(lambda *xs: jnp.stack(xs), *out)
+            # log keys can differ across steps (e.g. D_update_ratio
+            # skips G losses on some steps): stack over the key union,
+            # NaN where a step did not produce the entry
+            keys = sorted({kk for lg in out for kk in lg})
+            nan = jnp.float32(jnp.nan)
+            return state, {kk: jnp.stack([
+                jnp.asarray(lg.get(kk, nan), jnp.float32) for lg in out])
+                for kk in keys}
         step0 = self._host_step
         lr_g = jnp.asarray([self.schedG.get_lr(step0 + i)
                             for i in range(k)], jnp.float32)
         lr_d = jnp.asarray([self.schedD.get_lr(step0 + i) if self.schedD
                             else 0.0 for i in range(k)], jnp.float32)
-        self._host_step += k
         key = ("scan", self.use_gan, k)
         if key not in self._jit_cache:
             fn = functools.partial(self._train_step,
@@ -616,7 +622,11 @@ class SRTrainer:
                     donate_argnums=(0,))
             else:
                 self._jit_cache[key] = jax.jit(scan_fn, donate_argnums=(0,))
-        return self._jit_cache[key](state, batches, lr_g, lr_d)
+        state, logs = self._jit_cache[key](state, batches, lr_g, lr_d)
+        # advance the host mirror only after a successful dispatch: a
+        # compile/dispatch failure must not skew the LR schedule
+        self._host_step += k
+        return state, logs
 
     # ------------------------------------------------------------------
     # eval
