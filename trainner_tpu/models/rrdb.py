@@ -266,49 +266,45 @@ def _bwd_dual(dt, nf, gc, res, g, square_dw: bool):
 
     g = g.astype(dt)
     dc5 = g * 0.2
+    db5 = _dbias(dc5)
     t5 = _conv3_t(dc5, w5, dt)  # [dx | dc1 | dc2 | dc3 | dc4]
     o1, o2, o3, o4 = nf, nf + gc, nf + 2 * gc, nf + 3 * gc
     da4 = t5[..., o4:] * _dmask(c4, dt)
+    db4 = _dbias(da4)
     t4 = _conv3_t(da4, w4, dt)  # [dx | dc1 | dc2 | dc3]
     da3 = (t5[..., o3:o4] + t4[..., o3:]) * _dmask(c3, dt)
+    db3 = _dbias(da3)
     t3 = _conv3_t(da3, w3, dt)
     da2 = (t5[..., o2:o3] + t4[..., o2:o3] + t3[..., o2:]) \
         * _dmask(c2, dt)
+    db2 = _dbias(da2)
     t2 = _conv3_t(da2, w2, dt)
     da1 = (t5[..., o1:o2] + t4[..., o1:o2] + t3[..., o1:o2]
            + t2[..., o1:]) * _dmask(c1, dt)
+    db1 = _dbias(da1)
     t1 = _conv3_t(da1, w1, dt)
     dx = (t5[..., :nf] + t4[..., :nf] + t3[..., :nf] + t2[..., :nf]
           + t1 + g).astype(x_dtype)
 
+    # NOTE (round 4, measured): folding the five bias-grad sums into
+    # the dW GEMM (ones-channel input) or one fused reduction over G
+    # looks like it should save their ~4 ms of standalone reduce
+    # fusions, but full-step traces show XLA already absorbs that cost
+    # (89.7 / 89.6 / 90.4 ms for per-stage / ones-trick / G-reduce) —
+    # per-op accounting misleads here; keep the simplest form.
     gw = 4 * gc + nf
     G = _cat([da1, da2, da3, da4, dc5])
-    # bias grads ride the dwx correlation: a constant-1 input channel's
-    # CENTER tap correlates to the exact spatial sum of every cotangent
-    # column (db_k for all five stages in one row) — the five standalone
-    # f32 reductions re-read the cotangents at 690 GB/s for ~4 ms/step
-    # on the nb=23 bench (round-4 trace) and are pure extra traffic.
-    ones = jnp.ones(x.shape[:-1] + (1,), dt)
-
-    def dbs_split(dbrow):
-        dbrow = dbrow.astype(jnp.float32)
-        return (dbrow[0:gc], dbrow[gc:2 * gc], dbrow[2 * gc:3 * gc],
-                dbrow[3 * gc:4 * gc], dbrow[4 * gc:])
-
     if square_dw:
-        P = _cat([x, c1, c2, c3, c4, ones])
-        dwf = _conv3_dw(P, G, (3, 3, nf + 4 * gc + 1, gw), dt)
+        P = _cat([x, c1, c2, c3, c4])
+        dwf = _conv3_dw(P, G, (3, 3, nf + 4 * gc, gw), dt)
         dw1 = dwf[:, :, :nf, 0:gc]
         dw2 = dwf[:, :, :nf + gc, gc:2 * gc]
         dw3 = dwf[:, :, :nf + 2 * gc, 2 * gc:3 * gc]
         dw4 = dwf[:, :, :nf + 3 * gc, 3 * gc:4 * gc]
-        dw5 = dwf[:, :, :nf + 4 * gc, 4 * gc:]
-        db1, db2, db3, db4, db5 = dbs_split(dwf[1, 1, nf + 4 * gc])
+        dw5 = dwf[:, :, :, 4 * gc:]
         return (dx, dw1, db1, dw2, db2, dw3, db3, dw4, db4, dw5, db5)
     # exact-FLOPs path: packed per-stage dW against suffix slices of G
-    dwxa = _conv3_dw(_cat([x, ones]), G, (3, 3, nf + 1, gw), dt)
-    dwx = dwxa[:, :, :nf]
-    db1, db2, db3, db4, db5 = dbs_split(dwxa[1, 1, nf])
+    dwx = _conv3_dw(x, G, (3, 3, nf, gw), dt)
     dw1p = _conv3_dw(c1, G[..., gc:], (3, 3, gc, gw - gc), dt)
     dw2p = _conv3_dw(c2, G[..., 2 * gc:], (3, 3, gc, gw - 2 * gc), dt)
     dw3p = _conv3_dw(c3, G[..., 3 * gc:], (3, 3, gc, gw - 3 * gc), dt)
