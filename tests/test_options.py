@@ -213,3 +213,33 @@ def test_all_shipped_templates_parse():
         assert opt.get("model") in (
             "sr", "srgan", "srflow", "vsr", "vsrgan", "dvd", "sftgan",
             "pix2pix", "cyclegan", "wbc", "ppon", "pbr"), f
+
+
+def test_all_train_templates_construct_trainers():
+    """Beyond parsing: every shipped TRAIN template must construct its
+    trainer (template -> defaults -> network/loss constructors) — the
+    glue the per-architecture tests don't cover."""
+    import glob
+    import os
+    import sys
+
+    import jax.numpy as jnp
+
+    from trainner_tpu.options import parse
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from train import create_trainer
+
+    root = os.path.join(os.path.dirname(__file__), "..", "options")
+    files = sorted(glob.glob(os.path.join(root, "**", "train_*.yml"),
+                             recursive=True) +
+                   glob.glob(os.path.join(root, "**", "train_*.json"),
+                             recursive=True))
+    assert len(files) >= 9, files
+    for f in files:
+        opt = parse(f, is_train=True)
+        tr = create_trainer(opt)
+        assert tr is not None, f
+        # the generator module exists and carries the template's dtype
+        net = getattr(tr, "netG", None) or getattr(tr, "netG_A", None)
+        assert net is not None, f
