@@ -6,8 +6,12 @@ generated with our MATLAB-parity imresize (proved <1e-5 against the
 reference resizer in tests/test_reference_parity.py).
 
 Runs in production bf16 by default (--f32 for the float control run).
+--seed N varies the INIT seed only (the crop stream stays seed=0 so all
+runs see the byte-identical data sequence) — used to measure the
+init-seed spread of final PSNR, the error bar any cross-framework
+comparison has to clear.
 
-Usage: python scripts/quality_ab_jax.py [out.jsonl] [--f32]
+Usage: python scripts/quality_ab_jax.py [out.jsonl] [--f32] [--seed N]
 """
 
 from __future__ import annotations
@@ -22,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import quality_ab_common as C  # noqa: E402
 
 
-def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False) -> None:
+def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False,
+         seed: int = 0) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +52,7 @@ def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False) -> None:
         },
     }
     trainer = SRTrainer(opt, dtype=dtype)
-    state = trainer.init_state(jax.random.PRNGKey(0),
+    state = trainer.init_state(jax.random.PRNGKey(seed),
                                (C.BATCH, C.CROP // C.SCALE,
                                 C.CROP // C.SCALE, 3))
 
@@ -75,7 +80,7 @@ def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False) -> None:
         "side": f"trainner-tpu-{'f32' if f32 else 'bf16'}",
         "batch": C.BATCH, "crop": C.CROP, "niter": C.NITER,
         "base_lr": C.BASE_LR, "sched": C.LR_SCHED,
-        "resumed_from": start_step,
+        "init_seed": seed, "resumed_from": start_step,
         "platform": jax.devices()[0].platform},
         append=start_step > 0)
 
@@ -108,5 +113,9 @@ def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False) -> None:
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    seed = 0
+    if "--seed" in sys.argv:
+        seed = int(sys.argv[sys.argv.index("--seed") + 1])
+        args = [a for a in args if a != str(seed)]
     main(args[0] if args else "/tmp/qa_jax.jsonl",
-         f32="--f32" in sys.argv)
+         f32="--f32" in sys.argv, seed=seed)
