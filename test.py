@@ -60,6 +60,16 @@ def main(argv=None):
     model = (opt.get("model") or "sr").lower()
     ensemble_x8 = bool(opt.get("self_ensemble") or opt.get("x8"))
     chop = opt.get("chop_forward") or opt.get("chop")
+    # band-parallel big-image inference over all devices (the multi-chip
+    # analogue of chop — parallel/spatial.py); `spatial_shards: N` in the
+    # options enables it when >1 device is visible
+    sp_shards = int(opt.get("spatial_shards") or 0)
+    sp_mesh = None
+    if sp_shards > 1 and len(jax.devices()) >= sp_shards:
+        from trainner_tpu.parallel import make_spatial_mesh
+
+        sp_mesh = make_spatial_mesh(sp_shards)
+    sp_halo = int(opt.get("spatial_halo") or 32)
     # SRFlow sampling controls (ref test_srflow.py:23)
     heats = (opt.get("val") or {}).get("heats") or [0.0]
     n_sample = int((opt.get("val") or {}).get("n_sample", 1) or 1)
@@ -108,6 +118,9 @@ def main(argv=None):
                                        jnp.asarray(batch["seg"]))
             elif ensemble_x8:
                 sr = trainer.eval_step_x8(state, lr)
+            elif sp_mesh is not None:
+                sr = trainer.eval_step_spatial(state, lr, sp_mesh,
+                                               halo=sp_halo)
             elif chop:
                 sr = trainer.eval_step_chop(state, lr)
             else:

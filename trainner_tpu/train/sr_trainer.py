@@ -704,6 +704,38 @@ class SRTrainer:
                 k += 1
         return acc / cnt
 
+    def eval_step_spatial(self, state: SRTrainState, lr_img, mesh,
+                          axis: str = "sp", halo: int = 16,
+                          which: str = "auto") -> jnp.ndarray:
+        """Band-parallel inference over a spatial mesh axis — the
+        multi-chip scale-out of eval_step_chop (ref sr_model.test_chop
+        :319). The image's height is sharded over `axis`; each device
+        exchanges `halo` edge rows with neighbours over ICI and runs the
+        full net on its band (parallel/spatial.py). Exact vs eval_step
+        wherever halo covers the effective receptive field (gated in
+        tests/test_parallel.py)."""
+        from ..parallel.spatial import spatial_infer
+
+        g = state.g
+        if which in ("ema", "auto") and state.ema_params is not None:
+            g = state.g.replace(params=state.ema_params)
+        elif which == "swa" and state.swa_params is not None:
+            g = state.g.replace(params=state.swa_params)
+
+        def apply_fn(x):
+            y, _ = self._g_apply(g, x.astype(jnp.float32),
+                                 jax.random.PRNGKey(0), train=False)
+            y = y.astype(jnp.float32)
+            if self.use_cem:
+                from ..ops.cem import cem_project
+
+                y = cem_project(y, x.astype(jnp.float32), self.scale,
+                                kernel=self.cem_kernel)
+            return y
+
+        return spatial_infer(apply_fn, lr_img, mesh, axis=axis,
+                             halo=halo, scale=self.scale)
+
     def eval_step_x8(self, state: SRTrainState, lr_img) -> jnp.ndarray:
         """x8 geometric self-ensemble (ref sr_model.test_x8:279)."""
         outs = []
