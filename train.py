@@ -434,12 +434,14 @@ def main(argv=None):
         from trainner_tpu.parallel.mesh import MeshConfig, make_mesh
 
         data_ax = int(par.get("data", -1) or -1)
+        fsdp_ax = int(par.get("fsdp", 1) or 1)
+        tensor_ax = int(par.get("tensor", 1) or 1)
         n_dev = len(jax.devices())
         if data_ax <= 0:
-            data_ax = n_dev // max(int(par.get("fsdp", 1) or 1), 1)
+            data_ax = n_dev // (max(fsdp_ax, 1) * max(tensor_ax, 1))
         if train_bs % max(data_ax, 1) == 0:
-            mesh = make_mesh(MeshConfig(data=data_ax,
-                                        fsdp=int(par.get("fsdp", 1) or 1)))
+            mesh = make_mesh(MeshConfig(data=data_ax, fsdp=fsdp_ax,
+                                        tensor=tensor_ax))
             logger.info(f"Device mesh: {dict(mesh.shape)} over "
                         f"{n_dev} devices")
         else:
