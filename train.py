@@ -434,12 +434,17 @@ def main(argv=None):
         from trainner_tpu.parallel.mesh import MeshConfig, make_mesh
 
         data_ax = int(par.get("data", -1) or -1)
-        fsdp_ax = int(par.get("fsdp", 1) or 1)
-        tensor_ax = int(par.get("tensor", 1) or 1)
+        fsdp_ax = max(1, int(par.get("fsdp", 1) or 1))
+        tensor_ax = max(1, int(par.get("tensor", 1) or 1))
         n_dev = len(jax.devices())
         if data_ax <= 0:
-            data_ax = n_dev // (max(fsdp_ax, 1) * max(tensor_ax, 1))
-        if train_bs % max(data_ax, 1) == 0:
+            data_ax = n_dev // (fsdp_ax * tensor_ax)
+        if data_ax < 1 or data_ax * fsdp_ax * tensor_ax != n_dev:
+            logger.warning(
+                f"parallel axes {data_ax}x{fsdp_ax}x{tensor_ax} do not "
+                f"tile the {n_dev} available devices; running "
+                "single-device")
+        elif train_bs % data_ax == 0:
             mesh = make_mesh(MeshConfig(data=data_ax, fsdp=fsdp_ax,
                                         tensor=tensor_ax))
             logger.info(f"Device mesh: {dict(mesh.shape)} over "
@@ -477,6 +482,20 @@ def main(argv=None):
         state = state.replace(g=state.g.replace(params=g_params))
         logger.info(f"Loaded pretrained G from "
                     f"{opt['path']['pretrain_model_G']}")
+
+    if mesh is not None:
+        # place the state under its mesh sharding (params/opt-state over
+        # fsdp, output channels over tensor, replicated over data) —
+        # without this only batches were sharded and the fsdp/tensor knobs
+        # were inert in the CLI path (they applied only in
+        # dryrun_multichip/tests); mirrors __graft_entry__.dryrun_multichip
+        from trainner_tpu.parallel.mesh import param_sharding
+
+        state = jax.tree.map(jax.device_put, state,
+                             param_sharding(state, mesh))
+        logger.info("Train state placed under mesh sharding "
+                    f"(fsdp={mesh.shape.get('fsdp', 1)}, "
+                    f"tensor={mesh.shape.get('tensor', 1)})")
 
     fit(trainer, opt, loaders, state, start_epoch, current_step, logger,
         tb)

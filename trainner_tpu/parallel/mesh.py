@@ -96,14 +96,17 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 def _param_spec(x: jnp.ndarray, fsdp_size: int, fsdp_axis: str,
                 tp_size: int, tp_axis: str,
-                min_size: int = 2 ** 16) -> P:
+                min_size: int = 2 ** 16, is_kernel: bool = True) -> P:
     """PartitionSpec composing tensor and fsdp sharding for one leaf.
 
-    ``tensor`` takes the LAST dim (a flax conv/dense kernel's output
-    channels — Megatron-style weight-stationary split: each device owns a
-    cout slice, computes the full cin reduction for it, and GSPMD
-    all-gathers the channel-sharded activation where the next op needs it
-    whole). ``fsdp`` then takes the largest remaining divisible dim.
+    ``tensor`` takes the LAST dim of KERNEL leaves only (a flax conv/dense
+    kernel's output channels — Megatron-style weight-stationary split:
+    each device owns a cout slice, computes the full cin reduction for it,
+    and GSPMD all-gathers the channel-sharded activation where the next op
+    needs it whole). Non-kernel ndim>=2 leaves (embedding-style tables,
+    stacked stats) fall through to fsdp — their trailing dim is not an
+    output-channel dim, so a tensor split would be semantically wrong.
+    ``fsdp`` then takes the largest remaining divisible dim.
 
     Small leaves (biases, norm scales) stay replicated — sharding them
     wastes collective latency for no memory win.
@@ -117,7 +120,8 @@ def _param_spec(x: jnp.ndarray, fsdp_size: int, fsdp_axis: str,
     if x.ndim == 0 or x.size < min_size:
         return P()
     spec: list = [None] * x.ndim
-    if tp_size > 1 and x.ndim >= 2 and x.shape[-1] % tp_size == 0:
+    if (tp_size > 1 and is_kernel and x.ndim >= 2
+            and x.shape[-1] % tp_size == 0):
         spec[-1] = tp_axis
         return P(*spec)
     if fsdp_size > 1:
@@ -127,20 +131,39 @@ def _param_spec(x: jnp.ndarray, fsdp_size: int, fsdp_axis: str,
             if x.shape[i] % fsdp_size == 0:
                 spec[i] = fsdp_axis
                 break
+    if all(s is None for s in spec):
+        return P()  # normalize: replicated leaves compare equal to P()
     return P(*spec)
+
+
+def _leaf_key_name(path) -> str:
+    """Final key name of a tree path ('kernel', 'bias', ...)."""
+    if not path:
+        return ""
+    k = path[-1]
+    for attr in ("key", "name", "idx"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
 
 
 def param_sharding(params: Any, mesh: Mesh, axis: str = "fsdp",
                    tensor_axis: str = "tensor",
                    min_size: int = 2 ** 16) -> Any:
-    """NamedSharding pytree for params: replicated over data, output
-    channels over the tensor axis (when the mesh has one), largest
-    remaining dim over the fsdp axis (no-op P() when both sizes are 1)."""
+    """NamedSharding pytree for params: replicated over data, kernel
+    output channels over the tensor axis (when the mesh has one), largest
+    remaining dim over the fsdp axis (no-op P() when both sizes are 1).
+
+    The tensor branch is path-gated to leaves literally named 'kernel'
+    (flax conv/dense weights; optax moment trees mirror the same names)
+    so non-weight 2-D state can never be silently mis-sharded as
+    tensor-parallel."""
     fsdp_size = mesh.shape.get(axis, 1)
     tp_size = mesh.shape.get(tensor_axis, 1)
-    return jax.tree.map(
-        lambda x: NamedSharding(mesh, _param_spec(
-            x, fsdp_size, axis, tp_size, tensor_axis, min_size)), params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: NamedSharding(mesh, _param_spec(
+            x, fsdp_size, axis, tp_size, tensor_axis, min_size,
+            is_kernel=_leaf_key_name(path) == "kernel")), params)
 
 
 def local_batch_slice(global_batch: int, mesh: Mesh,
