@@ -179,6 +179,35 @@ def test_presets_inline_override():
     assert tr["aug_configs"]["iso"]["kernel_size"] == 21  # from preset
 
 
+def test_network_presets():
+    """gen_esrgan/disc_esrgan network presets (ref codes/options/presets/
+    gen_esrgan.yaml:1, disc_esrgan.yaml:1 — the reference ships these but
+    never consumes them; we wire `network_G_preset`/`network_D_preset`):
+    preset values land, inline keys win, defaults apply on the merge."""
+    o = _template_opt()
+    o.pop("network_G", None)
+    o.pop("network_D", None)
+    o["network_G_preset"] = "gen_esrgan"
+    o["network_D_preset"] = "disc_esrgan"
+    o["network_G"] = {"nb": 12}  # inline wins over the preset's 23
+    opt = parse_dict(o, is_train=True)
+    g, d = opt["network_G"], opt["network_D"]
+    assert g["type"] == "rrdb_net"
+    assert g["nb"] == 12 and g["nf"] == 64 and g["gc"] == 32
+    assert g["gaussian_noise"] or g.get("gaussian")  # preset gaussian: true
+    assert d["type"].startswith("discriminator_vgg")
+    assert d["base_nf"] == 64  # preset nf canonicalizes to base_nf
+
+
+def test_network_preset_missing_section_raises():
+    import pytest as _pytest
+
+    o = _template_opt()
+    o["network_D_preset"] = "gen_esrgan"  # has no network_D section
+    with _pytest.raises(ValueError):
+        parse_dict(o, is_train=True)
+
+
 def test_train_realesrgan_template_parses():
     """BASELINE config 3 (blind-SR preset training) template parses and
     resolves the resrgan preset overlay."""

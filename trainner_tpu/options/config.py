@@ -281,6 +281,12 @@ def parse_dict(opt: dict, opt_path: str = "", is_train: bool = True) -> NoneDict
 
     parse_datasets(opt, opt_path=opt_path)
 
+    # network presets (gen_esrgan/disc_esrgan — ref presets dir 1:1),
+    # then per-arch defaults on the merged result
+    from .presets import apply_network_presets
+
+    apply_network_presets(opt, opt_path=opt_path)
+
     # network defaults
     from .defaults import get_network_defaults
 

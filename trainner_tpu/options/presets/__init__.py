@@ -56,6 +56,29 @@ def load_preset(name: str, opt_path: str = "") -> dict:
     return data.get("config", {}) or {}
 
 
+def apply_network_presets(opt: dict, opt_path: str = "") -> None:
+    """Network preset overlay (ref ships codes/options/presets/
+    gen_esrgan.yaml:1 / disc_esrgan.yaml:1 but never consumes them; we
+    wire them). Selected by ``network_G_preset`` / ``network_D_preset``
+    (preset name or file path) at the top level of the options file;
+    preset values fill in, inline network_G/network_D keys win."""
+    for net_key in ("network_G", "network_D"):
+        name = opt.get(f"{net_key}_preset")
+        if not name:
+            continue
+        cfg = load_preset(str(name), opt_path)
+        preset_net = cfg.get(net_key)
+        if not isinstance(preset_net, dict):
+            raise ValueError(
+                f"preset {name!r} has no {net_key} section")
+        merged = dict(preset_net)
+        inline = opt.get(net_key)
+        if isinstance(inline, str):
+            inline = {"type": inline}
+        merged.update(inline or {})
+        opt[net_key] = merged
+
+
 def apply_presets(dataset: dict, opt_path: str = "") -> None:
     """Apply preset overlays to a train dataset options dict in place."""
     strategy = dataset.get("augs_strategy")
