@@ -115,14 +115,74 @@ class AlignedDataset:
             self.hr_paths = [p for p in self.hr_paths
                              if os.path.basename(p) in wanted or
                              p in wanted]
+        # decoded-tile cache (uint8, bounded): PNG/JPEG decode dominated
+        # the producer profile (2.4 ms/sample of the 4.6 ms total on the
+        # 1-core host — docs/performance.md round 5); repeated epochs over
+        # the same files re-decoded every access like the reference's
+        # DataLoader workers do (ref dataops/common.py:130). 0 disables.
+        self.cache_mb = float(dataset_opt.get("img_cache_mb", 512) or 0)
+        self._cache: Dict[int, np.ndarray] = {}
+        self._cache_bytes = 0
+        # uint8 fast path: when the wire is uint8 and LR is a strided
+        # placeholder (blind-SR regenerates LR on device), decode/crop/
+        # flip all stay uint8 — bitwise-identical wire bytes to the f32
+        # path (u8 -> f32/255 -> *255+0.5 round-trips exactly) at ~4x
+        # less memory traffic and no full-tile float conversion.
+        self._fast_u8 = (self.phase == "train" and self.wire_u8
+                         and self.lr_paths is None and self.skip_host_lr
+                         and not self.color and not self.aug_downscale
+                         and not self.host_otf)
 
     def __len__(self) -> int:
         return len(self.hr_paths)
 
+    def _read_u8(self, index: int) -> Optional[np.ndarray]:
+        """Decode path -> uint8 RGB HWC, modcropped; None if the file
+        isn't a plain 8-bit image (caller falls back to read_img)."""
+        img = self._cache.get(index)
+        if img is not None:
+            return img
+        path = self.hr_paths[index]
+        if "::" in path and ".lmdb" in path:
+            return None
+        import cv2
+        raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if raw is None or raw.dtype != np.uint8:
+            return None
+        if raw.ndim == 2:
+            raw = np.repeat(raw[:, :, None], 3, axis=2)
+        elif raw.shape[2] == 4:
+            raw = raw[:, :, :3]
+        img = np.ascontiguousarray(raw[:, :, ::-1])  # BGR -> RGB
+        if self._cache_bytes + img.nbytes <= self.cache_mb * 2**20:
+            self._cache[index] = img
+            self._cache_bytes += img.nbytes
+        return img
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(
             None if self.phase == "train" else self.seed_base + index)
-        hr = read_img(self.hr_paths[index])
+        if self._fast_u8:
+            hr_u8 = self._read_u8(index)
+            if hr_u8 is not None:
+                s = self.scale
+                hr_u8 = modcrop(hr_u8, s)  # cheap view slice
+                hr_c, _ = paired_random_crop(
+                    hr_u8, hr_u8[::s, ::s], self.hr_crop, s, rng)
+                hr_c = augment_pair([hr_c], self.use_flip, self.use_rot,
+                                    rng)[0]
+                return {"LR": np.ascontiguousarray(hr_c[::s, ::s]),
+                        "HR": hr_c,
+                        "LR_path": self.hr_paths[index],
+                        "HR_path": self.hr_paths[index]}
+        if self.cache_mb and not self._fast_u8:
+            # cached-decode path for the general case: decode uint8 once,
+            # convert to f32 per access (identical output to read_img)
+            u8 = self._read_u8(index)
+            hr = (u8.astype(np.float32) / 255.0) if u8 is not None \
+                else read_img(self.hr_paths[index])
+        else:
+            hr = read_img(self.hr_paths[index])
         if self.color:
             hr = channel_convert(hr, self.color)
         if self.lr_paths is not None:
