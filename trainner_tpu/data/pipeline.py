@@ -36,11 +36,13 @@ into a device-resident bank (data/kernels.py).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import degradations as D
 
@@ -1104,6 +1106,162 @@ class BatchDegrader:
 
         return jax.jit(run)
 
+    # ------------------------------------------------------------------
+    # balanced-routing per-sample shuffle (round 5): m-fold cheaper than
+    # the candidate-select path above
+    # ------------------------------------------------------------------
+    def _routing_plan(self, seed: int, b: int):
+        """Host-side routing for `_build_routing`: per-sample uniform
+        orders realized as rows of random Latin squares so every slot is
+        COLUMN-BALANCED (each symbol appears exactly npad/k times per
+        slot) — which is what lets the device program run each stage ONCE
+        per slot on a static q-slice instead of evaluating every stage as
+        a candidate for every slot (the 2*m^2 cost of _build_persample).
+
+        Symbols 0..m-1 are the shuffled stages, symbol m (when a resize
+        boundary exists) is the resize. A square's rows are
+        sigma∘shift_g∘tau with sigma, tau fresh uniform permutations, so
+        each SAMPLE's order is marginally uniform over all k!
+        permutations (sigma uniform makes sigma∘anything uniform) —
+        identical per-sample semantics to ref aug_pipeline:1748's
+        random.shuffle. The deliberate difference is within-batch: the k
+        samples sharing a square never collide on a slot (anti-correlated
+        orders). Batches are re-randomized every call, so the training
+        stream's per-sample degradation distribution is unchanged; the
+        distribution gates in tests/test_pipeline.py hold on this path.
+
+        Returns (idx, inv, act_a, act_b, npad):
+          idx  (k, npad) int32 — gather order per slot: positions
+               [i*q,(i+1)*q) hold the samples whose slot-j symbol is i
+          inv  (k, npad) int32 — inverse permutation per slot
+          act_a/act_b (k, npad) bool — gathered-order activity masks for
+               the pre-resize (HR canvas) / post-resize (LR canvas) pass
+        """
+        m = len(self.stages) - (1 if any(n == "resize" for n, _ in
+                                         self.stages) else 0)
+        has_res = any(n == "resize" for n, _ in self.stages)
+        k = m + (1 if has_res else 0)
+        q = -(-b // k)
+        npad = q * k
+        rng = np.random.default_rng(seed)
+        perms = np.empty((npad, k), np.int64)
+        for sq in range(q):
+            sigma = rng.permutation(k)
+            tau = rng.permutation(k)
+            g = np.arange(k)
+            perms[sq * k:(sq + 1) * k] = sigma[(g[:, None] + tau[None, :])
+                                               % k]
+        perms = perms[rng.permutation(npad)]
+        if has_res:
+            resize_pos = np.argmax(perms == m, axis=1)
+        else:
+            resize_pos = np.full(npad, k, np.int64)  # all pre-"resize"
+        idx = np.empty((k, npad), np.int32)
+        inv = np.empty((k, npad), np.int32)
+        for j in range(k):
+            order = np.argsort(perms[:, j], kind="stable")
+            idx[j] = order
+            inv[j, order] = np.arange(npad, dtype=np.int32)
+        js = np.arange(k)[:, None]
+        act_a = resize_pos[idx] > js
+        act_b = resize_pos[idx] < js
+        return idx, inv, act_a, act_b, npad
+
+    def _build_routing(self) -> Callable:
+        """Balanced-routing realization of the per-sample shuffle: same
+        per-sample order distribution as `_build_persample` (see
+        `_routing_plan`), at ~m-fold less device compute — each slot runs
+        each stage once on the q samples routed to it instead of running
+        every stage on every sample as a discarded candidate.
+
+        Device cost per batch: 2 passes x k slots x m stages on q-slices
+        = 2*m full-batch stage executions (vs 2*m^2 for candidate-select;
+        m=5 for the bsrgan preset). Gathers/scatters between slots move
+        2 batch copies/slot — noise next to any conv stage."""
+        boundary = next((i for i, (n, _) in enumerate(self.stages)
+                         if n == "resize"), None)
+        perm = [(n, fn) for i, (n, fn) in enumerate(self.stages)
+                if i != boundary]
+        resize_fn = self.stages[boundary][1] if boundary is not None \
+            else None
+        m = len(perm)
+        k = m + (1 if resize_fn is not None else 0)
+        res_f, comp_f = self._resize_finals, self._comp_finals
+        att_cfg = getattr(self, "_att_cfg", None)
+
+        def variant(name, fn, att: bool):
+            if isinstance(fn, dict):
+                return fn["att" if att else "no"]
+            if att and att_cfg is not None and name == "blur":
+                return _att_wrap(fn, att_cfg, square=False)
+            return fn
+
+        def run_pass(rng, x, idx, inv, act, att: bool, att_pair):
+            q = x.shape[0] // k
+            for j in range(k):
+                xg = x[idx[j]]
+                ag = None if att_pair is None else tuple(
+                    a[idx[j]] for a in att_pair)
+                rj = jax.random.fold_in(rng, j)
+                parts = []
+                for i, (n, fn) in enumerate(perm):
+                    vfn = variant(n, fn, att)
+                    r = jax.random.fold_in(rj, i)
+                    seg = xg[i * q:(i + 1) * q]
+                    if getattr(vfn, "_wants_att", False):
+                        a_seg = None if ag is None else tuple(
+                            a[i * q:(i + 1) * q] for a in ag)
+                        y = vfn(r, seg, att=a_seg)
+                    else:
+                        y = vfn(r, seg)
+                    keep = act[j, i * q:(i + 1) * q]
+                    parts.append(jnp.where(keep[:, None, None, None],
+                                           _q8(y), seg))
+                if resize_fn is not None:
+                    parts.append(xg[m * q:])  # resize-symbol group idles
+                x = jnp.concatenate(parts, axis=0)[inv[j]]
+            return x
+
+        def run(rng, x, idx, inv, act_a, act_b):
+            from ..ops.blocks import wire_to_f01
+
+            x = wire_to_f01(x)
+            b = x.shape[0]
+            npad = idx.shape[1]
+            if npad > b:
+                x = jnp.concatenate([x, x[: npad - b]], axis=0)
+            x = _q8(x)  # match _build_persample's slot-0 identity q8
+            r_a, r_res, r_b, r_att, rng = jax.random.split(rng, 5)
+            att_pair = _draw_att_pair(r_att, npad, att_cfg) \
+                if att_cfg is not None else None
+            x = run_pass(r_a, x, idx, inv, act_a, att=False,
+                         att_pair=None)
+            if resize_fn is not None:
+                x = _q8(resize_fn(r_res, x))
+                x = run_pass(r_b, x, idx, inv, act_b, att=True,
+                             att_pair=att_pair)
+            x = x[:b]
+
+            def seg(fns, r, xx):
+                for _, fn in fns:
+                    r, rr = jax.random.split(r)
+                    xx = _q8(fn(rr, xx))
+                return xx
+
+            if res_f and comp_f:
+                rng, ra, rb, rc = jax.random.split(rng, 4)
+                y_a = seg(res_f, ra, seg(comp_f, rb, x))
+                y_b = seg(comp_f, rb, seg(res_f, ra, x))
+                coin = jax.random.uniform(
+                    rc, (x.shape[0], 1, 1, 1)) < 0.5
+                x = jnp.where(coin, y_a, y_b)
+            elif res_f or comp_f:
+                rng, r = jax.random.split(rng)
+                x = seg(res_f or comp_f, r, x)
+            return _q8(x)
+
+        return jax.jit(run)
+
     def _build(self, order: Tuple[int, ...]) -> Callable:
         ordered = [self.stages[i] for i in order]
         names = [n for n, _ in ordered]
@@ -1156,7 +1314,20 @@ class BatchDegrader:
         n = len(self.stages)
         if self.shuffle and n > 1:
             # TRUE per-sample shuffle (ref aug_pipeline:1748 shuffles per
-            # sample): one compiled program, per-sample order inside
+            # sample). Default: balanced-routing program (~m-fold less
+            # device compute, identical per-sample marginals — see
+            # _routing_plan); TRAINNER_SHUFFLE_ROUTING=0 selects the
+            # candidate-select program (bit-compatible with the round-4
+            # graphs; exact iid within-batch joints).
+            if os.environ.get("TRAINNER_SHUFFLE_ROUTING", "1") != "0":
+                if "routing" not in self._jitted:
+                    self._jitted["routing"] = self._build_routing()
+                seed = int(np.asarray(
+                    jax.random.key_data(rng)).ravel()[-1])
+                idx, inv, act_a, act_b, _ = self._routing_plan(
+                    seed, int(images.shape[0]))
+                return self._jitted["routing"](rng, images, idx, inv,
+                                               act_a, act_b)
             if "persample" not in self._jitted:
                 self._jitted["persample"] = self._build_persample()
             return self._jitted["persample"](rng, images)
