@@ -11,7 +11,23 @@ runs see the byte-identical data sequence) — used to measure the
 init-seed spread of final PSNR, the error bar any cross-framework
 comparison has to clear.
 
+--init-from PATH loads a flax param tree serialized by
+scripts/qa_matched_init.py (the torch side's exact step-0 weights via
+torch_interop) in place of the jax init — the matched-init experiment
+that isolates per-step training math from init-seed luck.
+
+--noclip-lr generates train LR without the [0,1] clip (ops.imresize
+clips by default; the torch side's reference resizer does not, so its
+net trains on cubic-overshoot values ours clipped away — the one
+remaining per-step input difference under matched init).
+
+--highest sets jax_default_matmul_precision=highest: on TPU, "f32"
+convs otherwise run Precision.DEFAULT (bf16 MXU passes) — the torch CPU
+side computes true-f32 convs, so this is the remaining per-step math
+difference under matched init + matched inputs.
+
 Usage: python scripts/quality_ab_jax.py [out.jsonl] [--f32] [--seed N]
+           [--init-from params.msgpack] [--noclip-lr] [--highest]
 """
 
 from __future__ import annotations
@@ -27,11 +43,15 @@ import quality_ab_common as C  # noqa: E402
 
 
 def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False,
-         seed: int = 0) -> None:
+         seed: int = 0, init_from: str = "", clip_lr: bool = True,
+         highest: bool = False) -> None:
     import jax
+
+    if highest:
+        jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
-    from trainner_tpu.ops.imresize import imresize_np
+    from trainner_tpu.ops.imresize import imresize
     from trainner_tpu.train.sr_trainer import SRTrainer
     from trainner_tpu.utils.jax_cache import enable_compilation_cache
 
@@ -55,6 +75,12 @@ def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False,
     state = trainer.init_state(jax.random.PRNGKey(seed),
                                (C.BATCH, C.CROP // C.SCALE,
                                 C.CROP // C.SCALE, 3))
+    if init_from:
+        from flax import serialization
+        with open(init_from, "rb") as f:
+            params = serialization.from_bytes(state.g.params, f.read())
+        state = state.replace(g=state.g.replace(
+            params=params, opt_state=trainer.optG.init(params)))
 
     imgs = C.load_train_images()
     val = C.load_val_pairs()
@@ -81,6 +107,8 @@ def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False,
         "batch": C.BATCH, "crop": C.CROP, "niter": C.NITER,
         "base_lr": C.BASE_LR, "sched": C.LR_SCHED,
         "init_seed": seed, "resumed_from": start_step,
+        "init_from": init_from or None, "clip_lr": clip_lr,
+        "matmul_precision": "highest" if highest else "default",
         "platform": jax.devices()[0].platform},
         append=start_step > 0)
 
@@ -96,7 +124,8 @@ def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False,
     for step in range(start_step + 1, C.NITER + 1):
         hr_u8 = next(stream)
         hr = hr_u8.astype(np.float32) / 255.0
-        lr = np.stack([imresize_np(h, 1.0 / C.SCALE, kernel="cubic")
+        lr = np.stack([imresize(h, 1.0 / C.SCALE, kernel="cubic",
+                                clip=clip_lr)
                        for h in hr]).astype(np.float32)
         state, logs = trainer.train_step(
             state, {"LR": jnp.asarray(lr), "HR": jnp.asarray(hr)})
@@ -112,10 +141,19 @@ def main(out_path: str = "/tmp/qa_jax.jsonl", f32: bool = False,
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     seed = 0
-    if "--seed" in sys.argv:
-        seed = int(sys.argv[sys.argv.index("--seed") + 1])
-        args = [a for a in args if a != str(seed)]
+    init_from = ""
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        del argv[i:i + 2]
+    if "--init-from" in argv:
+        i = argv.index("--init-from")
+        init_from = argv[i + 1]
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     main(args[0] if args else "/tmp/qa_jax.jsonl",
-         f32="--f32" in sys.argv, seed=seed)
+         f32="--f32" in argv, seed=seed, init_from=init_from,
+         clip_lr="--noclip-lr" not in argv,
+         highest="--highest" in argv)

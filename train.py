@@ -404,6 +404,20 @@ def main(argv=None):
     seed = (opt["train"] or {}).get("manual_seed") or 0
     np.random.seed(int(seed))
 
+    # conv/matmul precision (round-5 matched-init finding: on TPU,
+    # "f32" convs default to bf16 MXU passes; `highest` restores
+    # true-f32 accumulation — the torch reference's CPU/CUDA f32 conv
+    # semantics — at ~3-6x MXU cost. The matched-init 10k quality A/B
+    # only lands inside the torch band under `highest`; the production
+    # bf16 recipe is unaffected by this knob. docs/performance.md r5.)
+    prec = (opt["train"] or {}).get("matmul_precision") \
+        or opt.get("matmul_precision")
+    if prec:
+        import jax as _jax
+
+        _jax.config.update("jax_default_matmul_precision", str(prec))
+        logger.info(f"jax_default_matmul_precision = {prec}")
+
     # aux observability hooks (SURVEY.md §5): NaN guard + profiler trace
     if opt.get("debug_nans"):
         from trainner_tpu.utils.debug import enable_nan_checks
