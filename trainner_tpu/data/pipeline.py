@@ -1110,7 +1110,7 @@ class BatchDegrader:
     # balanced-routing per-sample shuffle (round 5): m-fold cheaper than
     # the candidate-select path above
     # ------------------------------------------------------------------
-    def _routing_plan(self, seed: int, b: int):
+    def _routing_plan(self, seed, b: int):
         """Host-side routing for `_build_routing`: per-sample uniform
         orders realized as rows of random Latin squares so every slot is
         COLUMN-BALANCED (each symbol appears exactly npad/k times per
@@ -1143,7 +1143,8 @@ class BatchDegrader:
         k = m + (1 if has_res else 0)
         q = -(-b // k)
         npad = q * k
-        rng = np.random.default_rng(seed)
+        rng = seed if isinstance(seed, np.random.Generator) \
+            else np.random.default_rng(seed)
         perms = np.empty((npad, k), np.int64)
         for sq in range(q):
             sigma = rng.permutation(k)
@@ -1322,10 +1323,15 @@ class BatchDegrader:
             if os.environ.get("TRAINNER_SHUFFLE_ROUTING", "1") != "0":
                 if "routing" not in self._jitted:
                     self._jitted["routing"] = self._build_routing()
-                seed = int(np.asarray(
-                    jax.random.key_data(rng)).ravel()[-1])
+                    # host-side plan stream, independent of the device
+                    # key: reading the key (key_data) would force a
+                    # device->host sync per batch — a full relay
+                    # round-trip (~25 ms) on the axon tunnel, measured
+                    # to erase the routing win (e2e 5.7 vs 8.0 it/s)
+                    self._plan_rng = np.random.default_rng(
+                        np.random.SeedSequence(0x5EED_0A71))
                 idx, inv, act_a, act_b, _ = self._routing_plan(
-                    seed, int(images.shape[0]))
+                    self._plan_rng, int(images.shape[0]))
                 return self._jitted["routing"](rng, images, idx, inv,
                                                act_a, act_b)
             if "persample" not in self._jitted:
