@@ -33,6 +33,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -110,8 +111,50 @@ def spatial_infer(apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
 def receptive_radius(n_convs_3x3: int, scale: int = 1) -> int:
     """Conservative receptive-field radius in *input* rows for a plain
     stack of ``n_convs_3x3`` SAME 3x3 convs (radius 1 each). Upsampling
-    layers at the end don't widen the input-space field. Deep residual
-    nets' *effective* field is far smaller; this is the exactness bound.
+    layers at the end don't widen the input-space field.
+
+    For deep residual nets this bound is USELESS as halo guidance (the
+    flagship RRDB23 has ~170 3x3 convs — larger than any practical band
+    height) because the *effective* field is far smaller: RDB residual
+    scaling (x0.2 per block, ref RRDBNet_arch.py:98) makes long conv
+    paths geometrically weak. Use :func:`effective_radius` to MEASURE
+    the decay on the actual network/weights, and pick
+    ``halo >= effective_radius(..., rtol=<seam tolerance>)``.
+    Measured flagship table: docs/performance.md round 5 + the gate in
+    tests/test_spatial_parallel.py.
     """
     del scale
     return n_convs_3x3
+
+
+def effective_radius(apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                     x: jnp.ndarray,
+                     rtol: float = 1e-4,
+                     scale: int = 1,
+                     delta: float = 0.5) -> int:
+    """Measured effective receptive radius of ``apply_fn`` at input ``x``:
+    perturb the center input row by ``delta`` and return the largest row
+    distance (in input rows) at which any output pixel moves by more than
+    ``rtol * max-row-movement``. ``halo >= effective_radius(...)`` bounds
+    band-seam error at the same relative level (the halo cut discards
+    exactly the rows a perturbation from outside the halo could reach).
+
+    Runs two forwards on the given input — cheap enough to call once at
+    setup on a representative crop. The result depends on the WEIGHTS
+    (trained RDBs pass more energy than the kaiming x0.1 init), so
+    measure on the checkpoint you serve.
+    """
+    b, h, w, c = x.shape
+    row = h // 2
+    x2 = x.at[:, row].add(delta)
+    y1 = apply_fn(x)
+    y2 = apply_fn(x2)
+    d = jnp.abs(y2 - y1).max(axis=(0, 2, 3))  # per output row
+    d = np.asarray(d)
+    peak = float(d.max())
+    if peak == 0.0:
+        return 0
+    hot = np.nonzero(d > rtol * peak)[0]
+    out_row = row * scale + (scale - 1) / 2
+    reach = max(abs(hot[0] - out_row), abs(hot[-1] - out_row))
+    return int(np.ceil(reach / scale))
