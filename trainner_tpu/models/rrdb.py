@@ -128,19 +128,35 @@ def _rdb5c_fwd_impl(dt, nf, gc, x, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5):
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
     x = x.astype(dt)
     wx, w1p, w2p, w3p, w4p = _rdb_pack_kernels(w1, w2, w3, w4, w5, nf, gc)
+    # TRAINNER_RDB_FWD: "packed" leaves fusion to XLA; "bar5" pins the
+    # c5 sum as elementwise work. Without the barrier, XLA's algebraic
+    # simplifier recognizes p5+q15+q25+q35+q45 as conv([x|c1..c4], w5)
+    # (the packed kernels are slices of w5) and REBUILDS the dense
+    # K=1728/N=64 conv5, re-reading all four wide stage tensors to
+    # recompute c1..c4 in its prologue — measured 0.92 ms/RDB in the
+    # r5 infer trace (b=16 128px, v5e).
+    mode = os.environ.get("TRAINNER_RDB_FWD", "packed")
+    if mode in ("barw", "barcw"):
+        wx, w1p, w2p, w3p, w4p = jax.lax.optimization_barrier(
+            (wx, w1p, w2p, w3p, w4p))
+    barc = (lambda v: jax.lax.optimization_barrier(v)) \
+        if mode in ("barc", "barcw") else (lambda v: v)
     p = _conv3(x, wx, dt)
     p1, p2, p3, p4, p5 = jnp.split(p, [gc, 2 * gc, 3 * gc, 4 * gc], -1)
-    c1 = lrelu(p1 + b1.astype(dt))
+    c1 = barc(lrelu(p1 + b1.astype(dt)))
     q = _conv3(c1, w1p, dt)
     q12, q13, q14, q15 = jnp.split(q, [gc, 2 * gc, 3 * gc], -1)
-    c2 = lrelu(p2 + q12 + b2.astype(dt))
+    c2 = barc(lrelu(p2 + q12 + b2.astype(dt)))
     q = _conv3(c2, w2p, dt)
     q23, q24, q25 = jnp.split(q, [gc, 2 * gc], -1)
-    c3 = lrelu(p3 + q13 + q23 + b3.astype(dt))
+    c3 = barc(lrelu(p3 + q13 + q23 + b3.astype(dt)))
     q = _conv3(c3, w3p, dt)
     q34, q35 = jnp.split(q, [gc], -1)
-    c4 = lrelu(p4 + q14 + q24 + q34 + b4.astype(dt))
+    c4 = barc(lrelu(p4 + q14 + q24 + q34 + b4.astype(dt)))
     q45 = _conv3(c4, w4p, dt)
+    if mode == "bar5":
+        p5, q15, q25, q35, q45 = jax.lax.optimization_barrier(
+            (p5, q15, q25, q35, q45))
     c5 = p5 + q15 + q25 + q35 + q45 + b5.astype(dt)
     out = c5 * 0.2 + x
     return out, (x, c1, c2, c3, c4)

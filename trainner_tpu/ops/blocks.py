@@ -336,8 +336,57 @@ class PixelShuffleBlock(nn.Module):
         return act(self.act_type)(x)
 
 
+class _UpconvP(nn.Module):
+    """Param shim for UpconvBlock's LR-space fast path: declares the
+    same ConvBlock_0/Conv_0/{kernel,bias} leaves (names, shapes, init)
+    as the naive nearest+ConvBlock path, so checkpoints and .pth
+    interop are layout-identical across both paths."""
+
+    features: int
+    in_features: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        class _P(nn.Module):
+            features: int
+            in_features: int
+            kernel_init: Callable
+
+            @nn.compact
+            def __call__(self):
+                k = self.param("kernel", self.kernel_init,
+                               (3, 3, self.in_features, self.features),
+                               jnp.float32)
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                return k, b
+
+        return _P(self.features, self.in_features, self.kernel_init,
+                  name="Conv_0")()
+
+
 class UpconvBlock(nn.Module):
-    """nearest-upsample + conv + act (ref block.py:390, ESRGAN upsampler)."""
+    """nearest-upsample + conv + act (ref block.py:390, ESRGAN upsampler).
+
+    For the (nearest, 2x, 3x3) configuration the naive order materializes
+    the 4x-size upsampled tensor and runs the conv at HR resolution with
+    only `features`(=64) output lanes. The fast path computes the EXACT
+    same function in LR space: nearest-up followed by a 3x3 SAME conv is
+    algebraically a 3x3 LR conv whose per-output-phase kernels are sums
+    of the original taps (floor((a+u)/2) row mapping), emitting 4x wider
+    channels, then depth_to_space. Same FLOPs, MXU-wide output, no HR
+    intermediate (saves writing+reading the upsampled tensor). Measured
+    on v5e (r5 infer trace): the 512-px 64->64 conv + its broadcast cost
+    10.8 + 2.7 ms/step at b=16; the LR form replaces both.
+    Measured neutral on step time (189.1 vs 189.3 ms/step trace total —
+    the depth_to_space transposes eat the conv gain) but it removes the
+    4x-size pre-conv intermediates, so big-image single-pass inference
+    fits larger tiles per chip. Applied at eval only: the train graph
+    stays byte-identical to round 4 (compile-cache stability through
+    the remote relay). TRAINNER_UPCONV_LR=0 disables; =1 forces it in
+    train too (bit-identical in exact arithmetic; bf16 rounding differs
+    in the last ulp)."""
 
     features: int
     upscale: int = 2
@@ -349,6 +398,37 @@ class UpconvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        import os
+
+        knob = os.environ.get("TRAINNER_UPCONV_LR", "")
+        fast = (self.mode == "nearest" and self.upscale == 2
+                and self.kernel_size == 3 and knob != "0"
+                and (not train or knob == "1"))
+        if fast:
+            w, b = _UpconvP(self.features, x.shape[-1],
+                            self.kernel_init, name="ConvBlock_0")()
+            # phase row-maps: out HR row 2i+a reads LR rows
+            # floor((a+u)/2), u in {-1,0,1} relative taps
+            m0 = jnp.asarray([[1., 0., 0.], [0., 1., 1.], [0., 0., 0.]],
+                             w.dtype)
+            m1 = jnp.asarray([[0., 0., 0.], [1., 1., 0.], [0., 0., 1.]],
+                             w.dtype)
+            ms = (m0, m1)
+            wp = jnp.stack(
+                [jnp.einsum("ru,sv,uvio->rsio", ms[a], ms[bb], w)
+                 for a in (0, 1) for bb in (0, 1)], axis=-1)
+            cin, f = w.shape[2], w.shape[3]
+            # (3,3,cin,f,4) -> (3,3,cin,4f): channel f*4 + a*2 + b matches
+            # depth_to_space's (c_out, r, r) ordering
+            wp = wp.reshape(3, 3, cin, 4 * f)
+            dt = self.dtype
+            xp = jnp.pad(x.astype(dt), [(0, 0), (1, 1), (1, 1), (0, 0)])
+            y = jax.lax.conv_general_dilated(
+                xp, wp.astype(dt), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dt)
+            y = y + jnp.repeat(b, 4).astype(dt)
+            return act(self.act_type)(depth_to_space(y, 2))
         if self.mode == "nearest" and float(self.upscale).is_integer():
             x = nearest_up(x, int(self.upscale))
         else:
