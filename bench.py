@@ -225,8 +225,9 @@ def bench_infer(n_warmup: int = 2, n_iters: int = 10) -> dict:
                          "upscale": 4}}
     model = define_G(opt, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    b, h, w = 16, 128, 128  # 4x -> 512x512 out; batch 16 saturates the MXU
-    # better than small batches (measured: b=4 -> 10.5, b=16 -> 15.6 Mpx/s)
+    b, h, w = 8, 128, 128  # 4x -> 512x512 out; b=8 is the measured
+    # per-chip peak (r5 sweep: b=2/4/8/16/32 -> 22.8/21.0/24.65/23.0/
+    # 19.7 Mpx/s; r1's b=4 -> 10.5, b=16 -> 15.6 predate the packed fwd)
     x = jnp.asarray(np.random.default_rng(1).random((b, h, w, 3),
                                                     np.float32))
     variables = jax.jit(lambda r, z: model.init(
@@ -376,7 +377,7 @@ def main() -> None:
         "train_scan_iters_per_sec": round(
             train.get("train_scan_iters_per_sec") or 0, 3) or None,
         "infer_mpx_per_sec_chip": round(infer["infer_mpx_per_sec"], 2),
-        "infer_batch": 16,
+        "infer_batch": 8,
         "n_devices": n_dev,
         "platform": jax.devices()[0].platform,
     }
