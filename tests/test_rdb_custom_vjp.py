@@ -29,7 +29,7 @@ def _naive_params_from_fast(vfast):
     return vfast
 
 
-@pytest.mark.parametrize("bwd_mode", ["dual", "dualsq", "packed"])
+@pytest.mark.parametrize("bwd_mode", ["dual", "dualsq", "dualdus", "packed"])
 def test_rdb_custom_vjp_matches_autodiff(bwd_mode, monkeypatch):
     monkeypatch.setenv("TRAINNER_RDB_BWD", bwd_mode)
     rng = np.random.default_rng(0)

@@ -251,7 +251,8 @@ def _bwd_packed(dt, nf, gc, res, g):
     return (dx, dw1, db1, dw2, db2, dw3, db3, dw4, db4, dw5, db5)
 
 
-def _bwd_dual(dt, nf, gc, res, g, square_dw: bool):
+def _bwd_dual(dt, nf, gc, res, g, square_dw: bool,
+              dus_canvas: bool = False):
     """Round-4 backward, the dual ("scatter to past") form.
 
     The forward packs per-stage so every conv output is wide; the dx
@@ -309,7 +310,19 @@ def _bwd_dual(dt, nf, gc, res, g, square_dw: bool):
     # (89.7 / 89.6 / 90.4 ms for per-stage / ones-trick / G-reduce) —
     # per-op accounting misleads here; keep the simplest form.
     gw = 4 * gc + nf
-    G = _cat([da1, da2, da3, da4, dc5])
+    if dus_canvas:
+        # round-5 attempt at the ~3.6 ms canvas concatenate: emit each
+        # cotangent into the canvas via dynamic_update_slice so the
+        # producing elementwise fusions write G's slices directly
+        # (in-place DUS chain) instead of materializing five standalone
+        # tensors and copying them into a concat. The t_i conv operands
+        # are unchanged (XLA remats the cheap elementwise da_i there).
+        G = jnp.zeros(dc5.shape[:-1] + (gw,), dt)
+        for off, v in ((0, da1), (gc, da2), (2 * gc, da3),
+                       (3 * gc, da4), (4 * gc, dc5)):
+            G = jax.lax.dynamic_update_slice_in_dim(G, v, off, -1)
+    else:
+        G = _cat([da1, da2, da3, da4, dc5])
     if square_dw:
         P = _cat([x, c1, c2, c3, c4])
         dwf = _conv3_dw(P, G, (3, 3, nf + 4 * gc, gw), dt)
@@ -343,14 +356,16 @@ def _bwd_dual(dt, nf, gc, res, g, square_dw: bool):
 def _rdb5c_fused_bwd(dt, nf, gc, res, g):
     # TRAINNER_RDB_BWD selects the backward graph: "dual" (default,
     # round-4 scatter-to-past), "dualsq" (dual dx + full-square dW),
-    # "packed" (round-2/3 graph). All three are exact rearrangements of
+    # "dualdus" (dual with DUS-emitted cotangent canvas, round 5),
+    # "packed" (round-2/3 graph). All are exact rearrangements of
     # the same math (tests/test_rdb_custom_vjp.py gates each).
     import os
 
     mode = os.environ.get("TRAINNER_RDB_BWD", "dual")
     if mode == "packed":
         return _bwd_packed(dt, nf, gc, res, g)
-    return _bwd_dual(dt, nf, gc, res, g, square_dw=(mode == "dualsq"))
+    return _bwd_dual(dt, nf, gc, res, g, square_dw=(mode == "dualsq"),
+                     dus_canvas=(mode == "dualdus"))
 
 
 rdb5c_fused.defvjp(_rdb5c_fused_fwd, _rdb5c_fused_bwd)
