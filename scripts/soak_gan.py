@@ -63,6 +63,11 @@ def main() -> None:
     save_g = ""
     if "--save-g" in sys.argv:
         save_g = sys.argv[sys.argv.index("--save-g") + 1]
+    max_seconds = 0.0
+    if "--max-seconds" in sys.argv:
+        # wall-clock budget for the GAN phase: end cleanly (summary +
+        # final G export) instead of holding the chip past a deadline
+        max_seconds = float(sys.argv[sys.argv.index("--max-seconds") + 1])
 
     import jax
     import jax.numpy as jnp
@@ -217,12 +222,16 @@ def main() -> None:
                 f.write(json.dumps(rec) + "\n")
             if step % 2000 == 0:
                 print(f"[soak] {rec}", flush=True)
-            if save_g and step % 10000 == 0:
+            if save_g and step % 5000 == 0:
                 from trainner_tpu.utils.checkpoint import save_params
                 save_params(state.g.params, save_g, backup=False)
             if bad > 3:
                 print("[soak] aborting: repeated non-finite logs",
                       flush=True)
+                break
+            if max_seconds and time.time() - t0 > max_seconds:
+                print(f"[soak] wall-clock budget {max_seconds}s reached "
+                      f"at step {step}", flush=True)
                 break
 
     # adversarial-health summary over the final half of the run

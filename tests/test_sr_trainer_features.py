@@ -112,6 +112,31 @@ def test_diffaug_and_fs_gan_step():
     assert np.isfinite(float(logs["l_d_total"]))
 
 
+def test_g_stage_adversarial_uses_batch_stats():
+    """Both GAN stages must run D with batch-stats BN: the reference
+    keeps netD in train mode for the G-stage adversarial pass too (ref
+    sr_model.py:162-193), so corrupting the *running* stats must not
+    change any training-step loss. Regression for the round-5 finding
+    that an eval-mode G-stage D gave G a vacuous adversarial signal
+    (l_g_gan ~ 1e-4 while the train-mode logit gap was ~20), letting D
+    saturate unopposed (docs/qa_curves/soak_gan_50k_live_evalbn.jsonl)."""
+    batch = _batch()
+    tr = _trainer(gan=True)
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    tr2 = _trainer(gan=True)
+    state2 = tr2.init_state(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    assert state2.d.extra, "discriminator_vgg should carry batch_stats"
+    corrupted = jax.tree_util.tree_map(lambda x: x + 100.0,
+                                       state2.d.extra)
+    state2 = state2.replace(d=state2.d.replace(extra=corrupted))
+    _, logs1 = tr.train_step(state, batch)
+    _, logs2 = tr2.train_step(state2, batch)
+    for k in ("l_g_gan", "l_g_total", "l_d_total", "D_real", "D_fake"):
+        assert np.allclose(float(logs1[k]), float(logs2[k]),
+                           rtol=1e-5), k
+    assert float(logs1["l_g_gan"]) > 0.0
+
+
 def test_virtual_batch_accumulation_matches_full_batch():
     """Accumulating 2 half-batches must equal one full-batch step
     (pixel-only, deterministic)."""

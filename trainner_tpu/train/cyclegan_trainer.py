@@ -200,13 +200,15 @@ class CycleGANTrainer:
                 da_p = jax.lax.stop_gradient(state.d_a.params)
                 db_p = jax.lax.stop_gradient(state.d_b.params)
 
+                # train=True: batch-stats norm for the G-stage pass (ref
+                # keeps netD in train mode); stat updates discarded
                 def d_a_fn(x):
                     return self._apply_d(self.netD_A, da_p,
-                                         state.d_a.extra, x, False)[0]
+                                         state.d_a.extra, x, True)[0]
 
                 def d_b_fn(x):
                     return self._apply_d(self.netD_B, db_p,
-                                         state.d_b.extra, x, False)[0]
+                                         state.d_b.extra, x, True)[0]
 
                 l_gan_a = self.adversarial.generator_loss(d_a_fn, fake_b,
                                                           real_b)

@@ -102,9 +102,14 @@ class DVDTrainer:
                 d_params = jax.lax.stop_gradient(state.d.params)
 
                 def d_fn(x):
-                    return self.netD.apply(
-                        {"params": d_params, **state.d.extra}, x,
-                        train=False)
+                    # batch-stats BN for the G-stage pass (ref keeps netD
+                    # in train mode throughout); stat updates discarded
+                    variables = {"params": d_params, **state.d.extra}
+                    mutable = [k for k in state.d.extra] \
+                        if state.d.extra else False
+                    out = self.netD.apply(variables, x, train=True,
+                                          mutable=mutable)
+                    return out[0] if mutable else out
 
                 l_gan = self.adversarial.generator_loss(d_fn, fake_t, top) \
                     + self.adversarial.generator_loss(d_fn, fake_b, bottom)
@@ -124,25 +129,33 @@ class DVDTrainer:
         new_d = state.d
         if self.use_gan:
             def forward_d(d_params):
+                box = {}
+
                 def d_fn(x):
-                    return self.netD.apply(
-                        {"params": d_params, **state.d.extra}, x,
-                        train=False)
+                    variables = {"params": d_params, **state.d.extra}
+                    mutable = [k for k in state.d.extra] \
+                        if state.d.extra else False
+                    out = self.netD.apply(variables, x, train=True,
+                                          mutable=mutable)
+                    if mutable:
+                        out, extra = out
+                        box.update(dict(extra))
+                    return out
 
                 l_t, logs_t = self.adversarial.discriminator_loss(
                     d_fn, jax.lax.stop_gradient(fake_t), top, gp_rng=r_gp)
                 l_b, _ = self.adversarial.discriminator_loss(
                     d_fn, jax.lax.stop_gradient(fake_b), bottom,
                     gp_rng=r_gp)
-                return l_t + l_b, logs_t
+                return l_t + l_b, (logs_t, box)
 
-            (loss_d, dlogs), dgrads = jax.value_and_grad(
+            (loss_d, (dlogs, d_extra)), dgrads = jax.value_and_grad(
                 forward_d, has_aux=True)(state.d.params)
             dgrads = clip_grads(dgrads, self.grad_clip,
                                 self.grad_clip_value)
             d_params, d_opt = self.optD.apply(dgrads, state.d.opt_state,
                                               state.d.params, lr_d)
-            new_d = state.d.replace(params=d_params, opt_state=d_opt)
+            new_d = NetState(d_params, d_opt, d_extra or state.d.extra)
             logs.update(dlogs)
             logs["l_d_total"] = loss_d
 

@@ -147,8 +147,10 @@ class Pix2PixTrainer:
                 d_params = jax.lax.stop_gradient(state.d.params)
 
                 def d_fn(x):
+                    # batch-stats BN for the G-stage pass (ref keeps netD
+                    # in train mode throughout); stat updates discarded
                     out, _ = self._d_apply(state.d, d_params, x,
-                                           train=False)
+                                           train=True)
                     return out
 
                 l_g_gan = self.adversarial.generator_loss(

@@ -88,9 +88,14 @@ class PPONTrainer(SRTrainer):
                 d_params = jax.lax.stop_gradient(state.d.params)
 
                 def d_fn(x):
-                    return self.netD.apply(
-                        {"params": d_params, **state.d.extra}, x,
-                        train=False)
+                    # batch-stats BN for the G-stage pass (ref keeps netD
+                    # in train mode throughout); stat updates discarded
+                    variables = {"params": d_params, **state.d.extra}
+                    mutable = [k for k in state.d.extra] \
+                        if state.d.extra else False
+                    o = self.netD.apply(variables, x, train=True,
+                                        mutable=mutable)
+                    return o[0] if mutable else o
 
                 l_gan = self.adversarial.generator_loss(d_fn, out, hr_img)
                 llogs["l_g_gan"] = l_gan
@@ -118,19 +123,29 @@ class PPONTrainer(SRTrainer):
             fake = jax.lax.stop_gradient(out)
 
             def forward_d(d_params):
+                box = {}
+
                 def d_fn(x):
-                    return self.netD.apply(
-                        {"params": d_params, **state.d.extra}, x,
-                        train=False)
+                    variables = {"params": d_params, **state.d.extra}
+                    mutable = [k for k in state.d.extra] \
+                        if state.d.extra else False
+                    o = self.netD.apply(variables, x, train=True,
+                                        mutable=mutable)
+                    if mutable:
+                        o, extra = o
+                        box.update(dict(extra))
+                    return o
 
-                return self.adversarial.discriminator_loss(
+                l_d, dlogs = self.adversarial.discriminator_loss(
                     d_fn, fake, hr_img, gp_rng=r_gp)
+                return l_d, (dlogs, box)
 
-            (loss_d, dlogs), dgrads = jax.value_and_grad(
+            (loss_d, (dlogs, d_extra)), dgrads = jax.value_and_grad(
                 forward_d, has_aux=True)(state.d.params)
             d_params, d_opt = self.optD.apply(dgrads, state.d.opt_state,
                                               state.d.params, lr_d)
-            new_d = state.d.replace(params=d_params, opt_state=d_opt)
+            new_d = state.d.replace(params=d_params, opt_state=d_opt,
+                                    extra=d_extra or state.d.extra)
             logs.update(dlogs)
             logs["l_d_total"] = loss_d
 

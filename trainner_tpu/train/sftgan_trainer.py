@@ -127,8 +127,10 @@ class SFTGANTrainer:
             total, llogs = self.generator_loss(fake, hr_img)
             if self.use_gan:
                 d_params = jax.lax.stop_gradient(state.d.params)
+                # batch-stats BN for the G-stage pass (ref keeps netD in
+                # train mode throughout); stat updates discarded
                 gan_logits, cls_logits, _ = self._d_apply(
-                    d_params, state.d.extra, fake, False)
+                    d_params, state.d.extra, fake, True)
                 l_gan = self.gan_weight * gan_loss(self.gan_type,
                                                    gan_logits, True)
                 l_cls = _xent(cls_logits, labels)

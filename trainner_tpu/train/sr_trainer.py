@@ -365,8 +365,17 @@ class SRTrainer:
                     ra = diff_augment(r_da, ra, self.dapolicy)
 
                 def d_fn(x, want_maps=False):
+                    # train=True: the reference keeps netD in train mode
+                    # for the G-stage adversarial pass too (ref
+                    # sr_model.py:162-193), so BatchNorm uses BATCH stats
+                    # and G's gradient flows through them. Eval-mode
+                    # running stats lag early in training and give G a
+                    # vacuous adversarial signal (D "fooled" under stale
+                    # stats while winning under batch stats), which lets
+                    # D saturate unopposed. Stat mutations are discarded;
+                    # the D stage owns the running-stat update.
                     out, _ = self._d_apply(state.d, d_params, x,
-                                           train=False,
+                                           train=True,
                                            return_feats=want_maps)
                     return out
 

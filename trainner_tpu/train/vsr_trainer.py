@@ -165,8 +165,14 @@ class VSRTrainer:
                 d_params = jax.lax.stop_gradient(state.d.params)
 
                 def d_fn(x):
+                    # batch-stats BN for the G-stage pass (ref keeps netD
+                    # in train mode throughout); stat updates discarded
                     variables = {"params": d_params, **state.d.extra}
-                    return self.netD.apply(variables, x, train=False)
+                    mutable = [k for k in state.d.extra] \
+                        if state.d.extra else False
+                    out = self.netD.apply(variables, x, train=True,
+                                          mutable=mutable)
+                    return out[0] if mutable else out
 
                 l_g_gan = self.adversarial.generator_loss(d_fn, sr,
                                                           hr_center)

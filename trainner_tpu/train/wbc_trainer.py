@@ -257,13 +257,15 @@ class WBCTrainer:
                 ds_p = jax.lax.stop_gradient(state.d_s.params)
                 dt_p = jax.lax.stop_gradient(state.d_t.params)
 
+                # train=True: batch-stats norm for the G-stage pass (ref
+                # keeps netD in train mode); stat updates discarded
                 def ds_fn(x):
                     return self._apply_d(self.netD_S, ds_p,
-                                         state.d_s.extra, x, False)[0]
+                                         state.d_s.extra, x, True)[0]
 
                 def dt_fn(x):
                     return self._apply_d(self.netD_T, dt_p,
-                                         state.d_t.extra, x, False)[0]
+                                         state.d_t.extra, x, True)[0]
 
                 l_gan_s = self.adversarial.generator_loss(
                     ds_fn, fake_blur, real_blur)
