@@ -86,6 +86,37 @@ def test_spatial_infer_pad_and_scale():
                                rtol=0, atol=1e-6)
 
 
+def test_rrdb_seams_exact_at_small_halo():
+    """Round-5 measured claim (docs/qa_curves/seam_rrdb23_init.json):
+    RRDB's EFFECTIVE receptive radius is ~4-6 input rows (residual
+    scaling x0.2 decays cross-row influence geometrically), ~30x below
+    the conservative per-conv bound — so practical halos far under
+    `receptive_radius()` still give numerically exact interior seams.
+    Gate that here on a deeper RRDB (nb=3 -> conservative radius ~50
+    rows) at halo=8, matching the flagship measurement's tolerance
+    class. Reference analogue: chop overlap=16 in
+    /root/reference/codes/models/sr_model.py:319."""
+    from trainner_tpu.train.sr_trainer import SRTrainer
+
+    opt = {"is_train": False, "scale": 2,
+           "network_G": {"type": "rrdb_net", "nf": 16, "nb": 3, "gc": 8,
+                         "upscale": 2, "gaussian_noise": False}}
+    tr = SRTrainer(opt, dtype=jnp.float32)
+    state = tr.init_state(jax.random.PRNGKey(0), (1, 16, 16, 3))
+
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, 64, 24, 3))
+    mesh = make_spatial_mesh(4)   # bands of 16 rows, halo 8
+    halo, s = 8, 2
+    y_sp = np.asarray(tr.eval_step_spatial(state, x, mesh, halo=halo))
+    y_1 = np.asarray(tr.eval_step(state, x))
+    assert y_sp.shape == y_1.shape == (1, 128, 48, 3)
+    # interior = beyond halo rows from the image's outer edge (the only
+    # structural deviation region); every internal band seam lies inside
+    interior = slice(halo * s, -halo * s)
+    np.testing.assert_allclose(y_sp[:, interior], y_1[:, interior],
+                               rtol=0, atol=1e-5)
+
+
 def test_spatial_infer_halo_too_large():
     mesh = make_spatial_mesh(8)
     x = jnp.zeros((1, 16, 8, 3))  # bands of 2 < halo 4
