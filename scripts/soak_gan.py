@@ -31,6 +31,13 @@ GAN from scratch makes D separate blurry early fakes from real photos
 trivially, so l_d pins to 0 regardless of the data stream (measured:
 docs/qa_curves/soak_gan_50k_live_scratch.jsonl).
 
+Note: this image has no pretrained VGG19 (zero egress — the reference
+could not download one here either), so the perceptual term runs on a
+randomly-initialized VGG (a fixed random projection; used this way in
+the literature as "random VGG" perceptual loss). The adversarial-game
+and numerical-stability evidence is unaffected; production runs supply
+`path.vgg_weights` (converted npz).
+
 Usage: python scripts/soak_gan.py [out.jsonl] [--steps 50000]
            [--pool 16] [--warmup 3000]
 """
